@@ -1,0 +1,130 @@
+"""Configuration layer.
+
+Unifies the reference's three config mechanisms (§5.6 of SURVEY.md):
+  (a) top-level ``config.yml`` (keys read at `main.py:33-43`),
+  (b) hard-coded dicts: generator cfg (`image_generator.py:46-74`) and
+      solver cfg (`seg_solver.py:83-132`),
+  (c) deeplab argparse + experiment edicts (`cmd_args.py`, `01/main.py:34-53`)
+into plain dataclasses, preserving the reference key names and defaults.
+"""
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import yaml
+
+# max_res_log2 per GAN domain (`main.py:55`, `image_generator.py:11-12`)
+MAX_RES_LOG2 = {"ffhq": 10, "cars": 9, "bedrooms": 8}
+
+
+@dataclasses.dataclass(frozen=True)
+class GanConfig:
+    """StyleGAN generator config (reference `image_generator.py:46-74`)."""
+
+    max_res_log2: int = 10
+    fmap_base: int = 8192
+    fmap_decay: float = 1.0
+    fmap_max: int = 512
+    base_scale_x: int = 4
+    base_scale_y: int = 4
+    use_wscale: bool = True
+    fix_noise: bool = False
+    latent_size: int = 512
+    channels: int = 3
+    imrange: Tuple[float, float] = (-1.0, 1.0)
+    dtype: str = "bf16"
+    # mapping-net dense layers run with lr_mult 0.01 folded into the forward
+    # weight scale (`image_generator.py:42`, `networks_stylegan.py:134-136`)
+    mapping_lr_mult: float = 0.01
+
+    def num_features(self, res_log2: int) -> int:
+        # `networks_stylegan.py:114-116`
+        fmaps = int(self.fmap_base / (2.0 ** ((res_log2 - 1) * self.fmap_decay)))
+        return min(fmaps, self.fmap_max)
+
+    @property
+    def resolutions(self) -> List[int]:
+        return [2 ** r for r in range(2, self.max_res_log2 + 1)]
+
+    @property
+    def feature_channels(self) -> List[int]:
+        """Per-resolution channel table of the emitted feature pyramid.
+
+        ffhq (max_res_log2=10): [512,512,512,512,256,128,64,32,16].
+        """
+        return [self.num_features(r) for r in range(2, self.max_res_log2 + 1)]
+
+    @property
+    def num_style_layers(self) -> int:
+        # two AdaIN styles per block (`networks_stylegan.py:99`)
+        return (self.max_res_log2 - 1) * 2
+
+
+def gan_config(gan: str = "ffhq", dtype: str = "bf16") -> GanConfig:
+    return GanConfig(max_res_log2=MAX_RES_LOG2[gan], dtype=dtype)
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """Decoder solver config (reference `seg_solver.py:83-132`)."""
+
+    max_res_log2: int = 10
+    seed: int = 1
+    kvstore: str = "nccl"
+    num_classes: int = 2
+    not_ignore_classes: Optional[Sequence[int]] = None
+    cls_type: str = "hair"
+    train_epochs: int = 24
+    base_lr: float = 1e-4
+    factor_d: float = 0.1
+    wd: float = 0.0
+    optimizer: str = "adam"
+    momentum: Optional[float] = None
+    scheduler: Optional[str] = None
+    preprocess_mask: bool = True
+    train_display_iters: int = 4
+    train_batch_size: int = 1
+    val_batch_size: int = 1
+    use_bn: bool = True
+    use_sync_bn: bool = False  # on TPU, batch stats are global-batch anyway
+    use_dropout: bool = True
+    start_res: int = 0
+    dtype: str = "fp32"
+
+    # decoder per-scale widths; truncated like `seg_solver.py:124-128`
+    features: List[int] = dataclasses.field(default_factory=list)
+    in_channels: List[int] = dataclasses.field(default_factory=list)
+
+    def __post_init__(self):
+        base_features = [32, 32, 32, 32, 32, 32, 32, 32, 16]
+        base_in_channels = [512, 512, 512, 512, 256, 128, 64, 32, 16]
+        if not self.features:
+            self.features = (
+                base_features[: self.max_res_log2 - 1] + [self.num_classes]
+            )
+        if not self.in_channels:
+            self.in_channels = base_in_channels[: self.max_res_log2 - 1]
+
+
+@dataclasses.dataclass
+class AppConfig:
+    """Top-level ``config.yml`` (`config.yml.example`, read at `main.py:33-43`)."""
+
+    BASE_DIR: str = "experiments/ffhq-hair"
+    GAN: str = "ffhq"
+    GAN_DIR: str = "stylegan-models"
+    GAN_GPU_IDS: Sequence[int] = dataclasses.field(default_factory=lambda: [0])
+    GAN_BATCH_SIZE_PER_GPU: int = 8
+    SOLVER_GPU_IDS: Sequence[int] = dataclasses.field(default_factory=lambda: [0])
+    ANNOTATION: str = "segmentation"
+    GENERATE_NUM: int = 10000
+    NO_GAN: bool = False
+    IMGS_DIR: Optional[str] = None
+
+
+def load_config_file(path: str) -> AppConfig:
+    """yaml loader (`utils.py:112-115`); unknown keys are ignored."""
+    with open(path, "r") as f:
+        raw: Dict = yaml.safe_load(f) or {}
+    fields = {f.name for f in dataclasses.fields(AppConfig)}
+    return AppConfig(**{k: v for k, v in raw.items() if k in fields})

@@ -1,0 +1,66 @@
+"""Device mesh + sharding helpers.
+
+The reference's only parallelism is single-host data parallelism: manual
+``split_and_load`` across GPUs plus NCCL KVStore gradient aggregation
+(`seg_solver.py:389-421`, `lib/core/segmentation.py:99-114`) and
+SyncBatchNorm. On TPU all of that is one concept: a `Mesh` with a ``data``
+axis. Arrays whose leading (batch) dim is sharded over that axis are
+processed data-parallel; global reductions inside `jit` (loss means, batch
+norm statistics) compile to ICI all-reduces automatically, which subsumes
+both the KVStore all-reduce and SyncBatchNorm.
+
+The reference's ``--kvstore {nccl,device,local}`` flag (`cmd_args.py:20-21`)
+is accepted for CLI compatibility and mapped onto mesh construction here.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
+    """A 1-D data-parallel mesh over the given (default: all) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def kvstore_to_mesh(kvstore: str = "nccl", device_ids: Optional[Sequence[int]] = None) -> Mesh:
+    """Map the reference kvstore flag to a mesh.
+
+    'nccl' / 'device'  -> all (or selected) accelerator devices
+    'local'            -> first device only (reference forces 'local' on CPU,
+                          `exps_utils.py:72`)
+    """
+    devices = jax.devices()
+    if device_ids:
+        devices = [devices[i] for i in device_ids if i < len(devices)]
+    if kvstore == "local":
+        devices = devices[:1]
+    return make_mesh(devices)
+
+
+def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over the data axis; replicate the rest."""
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return NamedSharding(mesh, spec)
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree):
+    """Place every array in ``tree`` with its batch axis sharded over ``data``."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
+    )
+
+
+def replicate(mesh: Mesh, tree):
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

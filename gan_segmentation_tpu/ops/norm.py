@@ -1,0 +1,30 @@
+"""Normalization primitives (statistics always in f32).
+
+- ``pixel_norm``: `networks_stylegan.py:558-565`
+  x * rsqrt(mean(x^2 over channel) + 1e-8).
+- ``instance_norm``: affine-free InstanceNorm used inside AdaIN
+  (`networks_stylegan.py:246-247,261`; mxnet default eps=1e-5):
+  per-(N,C) spatial standardization.
+
+Batch norm lives in the flax modules (`models/`) — under `jit` with the batch
+axis sharded over the data mesh, its `jnp.mean` over the batch compiles to an
+ICI all-reduce, which *is* the reference's SyncBatchNorm
+(`networks_seg.py:20-21`, SURVEY §2.3).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+
+def pixel_norm(x, eps: float = 1e-8, axis: int = -1):
+    xf = x.astype(jnp.float32)
+    denom = lax.rsqrt(jnp.mean(jnp.square(xf), axis=axis, keepdims=True) + eps)
+    return (xf * denom).astype(x.dtype)
+
+
+def instance_norm(x, eps: float = 1e-5):
+    """(N,H,W,C): standardize each (n, c) slice over H,W. No affine."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)
