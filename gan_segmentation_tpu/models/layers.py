@@ -1,0 +1,182 @@
+"""Weight-scaled layers shared by the generator (flax.linen).
+
+TPU-native re-implementations of the reference's custom gluon blocks
+(`networks_stylegan.py:200-565`): DenseW / Conv2DW / Conv2DTransposeW with
+runtime wscale (``weight * gain/sqrt(fan_in) * lr_mult``), Bias, AddNoise,
+AdaIN, Blur. All NHWC; weights HWIO. The wscale multiplier is applied to the
+weight (a scalar-times-constant XLA folds away at inference).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops.blur import blur_kernel
+from ..ops.conv import conv2d, conv_transpose2d, depthwise_conv2d
+from ..ops.norm import instance_norm
+from ..ops.wscale import wscale_std
+
+
+def leaky_relu(x, slope: float = 0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+class DenseW(nn.Module):
+    """`networks_stylegan.py:479-531`. Weight stored (in, out) unit-scale."""
+
+    features: int
+    use_bias: bool = True
+    use_wscale: bool = True
+    gain: float = float(np.sqrt(2))
+    lr_mult: float = 1.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        w = self.param("weight", nn.initializers.normal(1.0),
+                       (in_features, self.features), jnp.float32)
+        scale = self.lr_mult
+        if self.use_wscale:
+            scale *= wscale_std((in_features, self.features), self.gain)
+        y = jnp.dot(x.astype(self.compute_dtype),
+                    (w * scale).astype(self.compute_dtype),
+                    preferred_element_type=jnp.float32)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + (b * self.lr_mult).astype(y.dtype)
+        return y.astype(self.compute_dtype)
+
+
+class Conv2DW(nn.Module):
+    """`networks_stylegan.py:446-457` — conv with runtime wscale."""
+
+    features: int
+    kernel_size: int = 3
+    padding: int = 1
+    stride: int = 1
+    use_bias: bool = True
+    use_wscale: bool = True
+    gain: float = float(np.sqrt(2))
+    lr_mult: float = 1.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        w = self.param("weight", nn.initializers.normal(1.0),
+                       (k, k, in_ch, self.features), jnp.float32)
+        scale = self.lr_mult
+        if self.use_wscale:
+            scale *= wscale_std((k, k, in_ch, self.features), self.gain)
+        b = None
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) * self.lr_mult
+            b = b.astype(self.compute_dtype)
+        return conv2d(x.astype(self.compute_dtype),
+                      (w * scale).astype(self.compute_dtype), b,
+                      stride=self.stride, padding=self.padding)
+
+
+class Conv2DTransposeW(nn.Module):
+    """`networks_stylegan.py:460-476` — the k4 s2 p1 fused-upscale deconv.
+
+    fan_in for wscale matches mxnet's ``kernel[0]*kernel[1]*in_channels``
+    (`networks_stylegan.py:400-402` — computed from the *input* channels even
+    for Deconvolution).
+    """
+
+    features: int
+    kernel_size: int = 4
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = False
+    use_wscale: bool = True
+    gain: float = float(np.sqrt(2))
+    lr_mult: float = 1.0
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        # stored in conv-equivalent orientation (see ops.conv.conv_transpose2d)
+        w = self.param("weight", nn.initializers.normal(1.0),
+                       (k, k, in_ch, self.features), jnp.float32)
+        scale = self.lr_mult
+        if self.use_wscale:
+            scale *= wscale_std((k, k, in_ch, self.features), self.gain)
+        b = None
+        if self.use_bias:
+            b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                            jnp.float32) * self.lr_mult).astype(self.compute_dtype)
+        return conv_transpose2d(x.astype(self.compute_dtype),
+                                (w * scale).astype(self.compute_dtype), b,
+                                stride=self.stride, padding=self.padding)
+
+
+class Bias(nn.Module):
+    """Broadcast per-channel bias (`networks_stylegan.py:534-545`)."""
+
+    @nn.compact
+    def __call__(self, x):
+        b = self.param("bias", nn.initializers.zeros, (x.shape[-1],),
+                       jnp.float32)
+        return x + b.astype(x.dtype)
+
+
+class AddNoise(nn.Module):
+    """Per-channel-scaled spatial gaussian noise (`networks_stylegan.py:267-305`).
+
+    ``fix_noise`` caches one noise tensor per trace (the reference caches the
+    first sampled batch); the pipeline runs with fix_noise=False
+    (`image_generator.py:57`), i.e. fresh noise each call via the 'noise' rng.
+    """
+
+    fix_noise: bool = False
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        c = x.shape[-1]
+        scale = self.param("scale_factors", nn.initializers.zeros, (c,),
+                           jnp.float32)
+        if noise is None:
+            rng = self.make_rng("noise")
+            shape = (x.shape[0], x.shape[1], x.shape[2], 1)
+            noise = jax.random.normal(rng, shape, jnp.float32)
+        return x + (noise * scale.astype(noise.dtype)).astype(x.dtype)
+
+
+class AdaIN(nn.Module):
+    """Instance-norm + learned per-style affine (`networks_stylegan.py:239-264`).
+
+    y = instance_norm(x) * (ys + 1) + yb where (ys, yb) = affine(w) split.
+    The affine DenseW uses gain=1 (`:244-245`).
+    """
+
+    channels: int
+    use_wscale: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, w):
+        y = DenseW(self.channels * 2, use_bias=True, gain=1.0,
+                   use_wscale=self.use_wscale,
+                   compute_dtype=self.compute_dtype, name="affine")(w)
+        ys = y[:, : self.channels][:, None, None, :]
+        yb = y[:, self.channels:][:, None, None, :]
+        x_norm = instance_norm(x)
+        return (x_norm * (ys + 1.0) + yb).astype(x.dtype)
+
+
+class Blur(nn.Module):
+    """[1,2,1] depthwise blur with a constant kernel (`networks_stylegan.py:200-236`)."""
+
+    @nn.compact
+    def __call__(self, x):
+        k = blur_kernel(x.shape[-1], dtype=x.dtype)
+        return depthwise_conv2d(x, k, padding=1)
