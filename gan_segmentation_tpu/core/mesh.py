@@ -55,10 +55,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree):
-    """Place every array in ``tree`` with its batch axis sharded over ``data``."""
-    return jax.tree_util.tree_map(
-        lambda x: jax.device_put(x, data_sharding(mesh, np.ndim(x))), tree
-    )
+    """Place every array in ``tree`` with its batch axis sharded over ``data``.
+
+    Arrays whose leading dim does not divide the mesh size (e.g. the
+    reference's batch_size=1 decoder training, `seg_solver.py:107`) are
+    replicated instead — jit then runs them replicated, which is correct,
+    just not parallel.
+    """
+    n = mesh.size
+
+    def put(x):
+        if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
+            return jax.device_put(x, data_sharding(mesh, np.ndim(x)))
+        return jax.device_put(x, replicated_sharding(mesh))
+
+    return jax.tree_util.tree_map(put, tree)
 
 
 def replicate(mesh: Mesh, tree):

@@ -1,0 +1,102 @@
+"""Minimum end-to-end slice: fixture annotations -> decoder training ->
+predict/evaluate -> save/load, all on the virtual CPU mesh."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from gan_segmentation_tpu.core.config import SolverConfig
+from gan_segmentation_tpu.data.collection import CollectionDataset, trimap_from_gray
+from gan_segmentation_tpu.train.solver import SegSolver
+
+from util_fixtures import make_annotation_dir, mask_rule
+
+
+@pytest.fixture(scope="module")
+def annotation_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("data")
+    make_annotation_dir(d, n_samples=6, max_res_log2=5, seed=0)
+    return d
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("ckpt")
+
+
+def small_cfg():
+    cfg = SolverConfig(max_res_log2=5)
+    cfg.train_epochs = 20
+    return cfg
+
+
+class TestCollectionDataset:
+    def test_trimap_mapping(self):
+        gray = np.array([[255, 200, 193], [192, 64, 128], [63, 0, 210]], np.uint8)
+        tri = trimap_from_gray(gray)
+        # >192 -> 1; 64..192 -> 0; <64 -> -1 (`seg_datasets.py:85-106`)
+        np.testing.assert_array_equal(
+            tri, [[1, 1, 1], [0, 0, 0], [-1, -1, 1]])
+
+    def test_roundtrip_reference_format(self, annotation_dir):
+        ds = CollectionDataset(str(annotation_dir), load_to_memory=True)
+        assert len(ds) == 6
+        img, mask, feats = ds[0]
+        assert img.shape == (32, 32, 3) and img.dtype == np.float32
+        assert mask.shape == (32, 32) and mask.dtype == np.int32
+        # num_features(res_log2) = min(8192 / 2^(res_log2-1), 512) -> all 512
+        # at these low resolutions (`networks_stylegan.py:114-116`)
+        assert [f.shape for f in feats] == [(4, 4, 512), (8, 8, 512),
+                                            (16, 16, 512), (32, 32, 512)]
+        assert set(np.unique(mask)) <= {-1, 0, 1}
+        assert (mask[:2] == -1).all()  # ignore band survived the roundtrip
+
+    def test_batches(self, annotation_dir):
+        ds = CollectionDataset(str(annotation_dir), load_to_memory=False)
+        batches = list(ds.batches(2, shuffle=True, seed=1))
+        assert len(batches) == 3
+        b = batches[0]
+        assert b["image"].shape == (2, 32, 32, 3)
+        assert b["mask"].shape == (2, 32, 32)
+        assert len(b["features"]) == 4
+
+
+class TestSolverEndToEnd:
+    def test_fit_learns_and_roundtrips(self, annotation_dir, ckpt_dir):
+        solver = SegSolver(5, str(annotation_dir), str(ckpt_dir),
+                           cfg=small_cfg(), keep_weights=True)
+        assert not solver.is_trained
+        solver.fit()
+        assert solver.is_trained
+
+        # the decoder must have (over)fit the rule on the train set
+        result = dict(solver.evaluate(str(annotation_dir)))
+        assert result["accuracy"] > 0.9, result
+        assert result["mean-iou"] > 0.8, result
+        assert result["total-loss"] < 0.2, result
+
+        # predict shape contract (`seg_solver.py:307-329`): (N, H, W, 1)
+        ds = CollectionDataset(str(annotation_dir), load_to_memory=False)
+        _, _, feats = ds[0]
+        pred = solver.predict(feats)
+        assert pred.shape == (1, 32, 32, 1)
+
+        # auto-resume: a fresh solver picks up the checkpoint
+        solver2 = SegSolver(5, str(annotation_dir), str(ckpt_dir),
+                            cfg=small_cfg())
+        assert solver2.is_trained
+        pred2 = solver2.predict(feats)
+        np.testing.assert_array_equal(pred, pred2)
+
+    def test_evaluate_dumps_images(self, annotation_dir, ckpt_dir, tmp_path):
+        solver = SegSolver(5, str(annotation_dir), str(ckpt_dir),
+                           cfg=small_cfg())
+        assert solver.is_trained  # from previous test's checkpoint
+        out = tmp_path / "eval_out"
+        solver.evaluate(str(annotation_dir), output_dir=str(out))
+        files = sorted(p.name for p in out.iterdir())
+        assert "img_000000.jpg" in files
+        assert "mask_000000.png" in files
+        assert "gt_mask_000000.png" in files
+        assert "metrics_000000.txt" in files
