@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Benchmark: fused z -> (image, mask) sampling throughput at 1024px.
+
+This is the repo's north-star metric (BASELINE.md): synthetic-dataset
+generation samples/sec/chip for the ffhq (1024^2) pipeline — generator
+synthesis + feature pyramid + decoder + argmax, one jit program, uint8 out.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` compares against the recorded CPU-reference throughput in
+``bench_baseline.json`` (measured once with the same pipeline on the host
+CPU — the stand-in for the mxnet-CPU reference path, which is not
+installable here; see BASELINE.md).
+"""
+
+import argparse
+import json
+import time
+from os.path import dirname, isfile, join
+
+import jax
+import jax.numpy as jnp
+
+from gan_segmentation_tpu.core.config import GanConfig, SolverConfig
+from gan_segmentation_tpu.models.decoder import decoder_from_config
+from gan_segmentation_tpu.models.stylegan import StyleGanGenerator, init_generator
+
+
+def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0):
+    gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
+    gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
+    scfg = SolverConfig(max_res_log2=max_res_log2)
+    dec = decoder_from_config(scfg)
+    feats = [jnp.zeros((1, 2 ** (i + 2), 2 ** (i + 2), c), jnp.float32)
+             for i, c in enumerate(scfg.in_channels)]
+    dvars = jax.jit(lambda f: dec.init(jax.random.PRNGKey(seed + 3), f, False))(feats)
+
+    def fused(gp, dp, dbs, z, rng):
+        rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
+        feats = [f.astype(jnp.float32) for f in feats]
+        logits = dec.apply({"params": dp, "batch_stats": dbs}, feats, False)
+        mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        img = jnp.clip((rgb.astype(jnp.float32) + 1) * 127.5, 0, 255).astype(jnp.uint8)
+        return img, mask
+
+    return fused, gparams, dvars["params"], dvars.get("batch_stats", {})
+
+
+def measure(batch: int, iters: int, max_res_log2: int = 10,
+            warmup: int = 2) -> float:
+    fused_raw, gp, dp, dbs = build_fused(max_res_log2)
+    fused = jax.jit(fused_raw)
+    rng = jax.random.PRNGKey(0)
+
+    def run(i):
+        z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
+        img, mask = fused(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i))
+        return img, mask
+
+    for i in range(warmup):
+        jax.block_until_ready(run(i))
+    # block every iteration: on the axon remote backend, block_until_ready
+    # on a whole list of results does not reliably wait for all of them
+    t0 = time.perf_counter()
+    for i in range(iters):
+        jax.block_until_ready(run(warmup + i))
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--max-res-log2", type=int, default=10)
+    args = ap.parse_args()
+
+    value = measure(args.batch, args.iters, args.max_res_log2)
+
+    baseline_file = join(dirname(__file__) or ".", "bench_baseline.json")
+    vs_baseline = None
+    if isfile(baseline_file):
+        with open(baseline_file) as fp:
+            base = json.load(fp)
+        ref = base.get("cpu_samples_per_sec")
+        if ref:
+            vs_baseline = value / ref
+    print(json.dumps({
+        "metric": f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px",
+        "value": round(value, 3),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""CLI entry point mirroring the reference ``main.py``:
+
+    python main.py [annotation|train|evaluate|generate]
+
+reads ``config.yml`` from the working directory (keys at `main.py:33-43`),
+seeds the RNGs with 0 (`main.py:29-31`), and dispatches:
+- ``train``    decoder training on the annotated collection (`main.py:54-60`)
+- ``evaluate`` decoder eval on BASE_DIR/eval (`main.py:61-74`)
+- ``generate`` synthetic dataset emission (`main.py:75-104`) — fused on
+  device: z -> image+mask in one jit program, only uint8 crossing to host
+- ``annotation`` tkinter GUI (optional, host-side; `main.py:45-53`)
+"""
+
+import argparse
+import logging
+import sys
+from os import makedirs
+from os.path import isdir, join
+
+import numpy as np
+
+from ..core.config import MAX_RES_LOG2, load_config_file
+from ..train.generator import FusedPipeline, ImageGenerator
+from ..train.solver import SegSolver
+
+log = logging.getLogger(__name__)
+logging.basicConfig(level=logging.INFO,
+                    format="%(levelname)s:%(name)s:%(message)s")
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("action", nargs="?",
+                        choices=("annotation", "train", "evaluate", "generate"),
+                        default="annotation")
+    parser.add_argument("--config", default="config.yml")
+    return parser.parse_args(argv)
+
+
+def build_solver(cfg, keep_weights=False):
+    max_res_log2 = cfg.max_res_log2
+    return SegSolver(max_res_log2, join(cfg.BASE_DIR, "data"),
+                     join(cfg.BASE_DIR, "checkpoints"),
+                     keep_weights=keep_weights)
+
+
+def run_train(cfg):
+    solver = build_solver(cfg, keep_weights=False)
+    solver.fit()
+
+
+def run_evaluate(cfg):
+    solver = build_solver(cfg, keep_weights=False)
+    if not solver.is_trained:
+        print("train Decoder first!")
+        sys.exit(-1)
+    result = solver.evaluate(join(cfg.BASE_DIR, "eval"))
+    print(", ".join(f"{name}: {value:.4f}" for name, value in result))
+
+
+def run_generate(cfg):
+    import cv2
+    solver = build_solver(cfg, keep_weights=False)
+    if not solver.is_trained:
+        print("train Decoder first!")
+        sys.exit(-1)
+
+    batch_size = cfg.GAN_BATCH_SIZE_PER_GPU * max(1, len(cfg.GAN_GPU_IDS))
+    netG = ImageGenerator(gan=cfg.GAN, gan_dir=cfg.GAN_DIR,
+                          batch_size=batch_size,
+                          max_res_log2=cfg.MAX_RES_LOG2)
+    pipeline = FusedPipeline(netG, solver)
+
+    dst_dir = join(cfg.BASE_DIR, "dataset", "train_generated")
+    if not isdir(dst_dir):
+        makedirs(dst_dir)
+
+    n = cfg.GENERATE_NUM
+    try:
+        from tqdm import tqdm
+        progress = tqdm(total=n)
+    except ImportError:  # pragma: no cover
+        progress = None
+    for index, (img, mask) in enumerate(pipeline.generate_pairs(n)):
+        cv2.imwrite(join(dst_dir, f"img_{index:06d}.jpg"), img[:, :, ::-1])
+        cv2.imwrite(join(dst_dir, f"mask_{index:06d}.png"), mask)
+        if progress is not None:
+            progress.update()
+    if progress is not None:
+        progress.close()
+    log.info("wrote %d (image, mask) pairs to %s", n, dst_dir)
+
+
+def run_annotation(cfg):
+    import tkinter as tk
+
+    from .annotator import SegmentationAnnotator
+
+    root = tk.Tk()
+    if cfg.ANNOTATION == "segmentation":
+        SegmentationAnnotator(
+            root, cfg.BASE_DIR, gan_dir=cfg.GAN_DIR, gan=cfg.GAN,
+            n_generate=cfg.GENERATE_NUM,
+            gan_batch_size=cfg.GAN_BATCH_SIZE_PER_GPU * max(1, len(cfg.GAN_GPU_IDS)),
+        ).pack(fill="both", expand=True)
+    else:
+        print(f"uknown annotation type: {cfg.ANNOTATION}")
+        return
+    root.mainloop()
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    np.random.seed(0)  # `main.py:29-31`
+    cfg = load_config_file(args.config)
+    if args.action == "train":
+        run_train(cfg)
+    elif args.action == "evaluate":
+        run_evaluate(cfg)
+    elif args.action == "generate":
+        run_generate(cfg)
+    else:
+        run_annotation(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -120,6 +120,13 @@ class AppConfig:
     GENERATE_NUM: int = 10000
     NO_GAN: bool = False
     IMGS_DIR: Optional[str] = None
+    # extension: override the per-domain resolution table (tiny configs for
+    # tests / smoke runs); None -> MAX_RES_LOG2[GAN]
+    MAX_RES_LOG2: Optional[int] = None
+
+    @property
+    def max_res_log2(self) -> int:
+        return self.MAX_RES_LOG2 or MAX_RES_LOG2[self.GAN]
 
 
 def load_config_file(path: str) -> AppConfig:

@@ -35,7 +35,11 @@ class DenseW(nn.Module):
     @nn.compact
     def __call__(self, x):
         in_features = x.shape[-1]
-        w = self.param("weight", nn.initializers.normal(1.0),
+        # equalized-lr init: stored std 1/lr_mult so the runtime lr_mult
+        # multiplier yields unit-variance effective weights (the reference's
+        # Normal(1) init degenerates for lr_mult<1; its pretrained
+        # checkpoints compensate and simply overwrite this)
+        w = self.param("weight", nn.initializers.normal(1.0 / self.lr_mult),
                        (in_features, self.features), jnp.float32)
         scale = self.lr_mult
         if self.use_wscale:

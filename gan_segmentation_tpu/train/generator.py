@@ -1,0 +1,158 @@
+"""ImageGenerator — batched GAN sampling engine, plus the fused
+z -> (image, mask) pipeline.
+
+Re-designs `image_generator.py` for TPU:
+- ``get_images(n)`` keeps the reference's generator-of-samples API
+  (`image_generator.py:86-123`): yields (uint8 HWC image, [feature arrays]).
+  The uint8 conversion (`_transform_gan_back`, `:76-84`) happens **on
+  device**; only the features the caller actually needs cross to host.
+- ``FusedPipeline`` is the TPU-native redesign of `main.py generate`
+  (SURVEY §3.2): ONE jit program runs z -> mapping -> synthesis (feature
+  pyramid stays in HBM) -> decoder -> argmax, so only a uint8 image and a
+  uint8 mask per sample cross the host boundary — eliminating the
+  reference's ~130 MB/sample fp32 feature D2H (`image_generator.py:103-114`).
+  Dispatch is asynchronous, so host-side JPEG/PNG encoding of batch i
+  overlaps device compute of batch i+1.
+"""
+
+import logging
+from os.path import isfile, join
+from typing import Iterator, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import GanConfig, gan_config
+from ..core.dtypes import default_policy
+from ..core.mx_params import load_generator_params
+from ..models.stylegan import StyleGanGenerator
+
+log = logging.getLogger(__name__)
+
+
+def _to_uint8(rgb, imrange=(-1.0, 1.0)):
+    """(-1,1) float NHWC -> uint8, on device (`image_generator.py:76-84`)."""
+    lo, hi = imrange
+    x = (rgb.astype(jnp.float32) - lo) / (hi - lo)
+    x = jnp.clip(x, 0.0, 1.0) * 255.0
+    return x.astype(jnp.uint8)
+
+
+class ImageGenerator:
+    def __init__(self, gan: str = "ffhq", gan_dir: str = "stylegan-models",
+                 batch_size: int = 4, dtype: str = "bf16",
+                 return_latents: bool = False, seed: int = 0,
+                 params=None, max_res_log2: Optional[int] = None):
+        if max_res_log2 is not None:
+            self.cfg = GanConfig(max_res_log2=max_res_log2, dtype=dtype)
+        else:
+            self.cfg = gan_config(gan, dtype)
+        self.gan = gan
+        self.batch_size = batch_size
+        self.return_latents = return_latents
+        self.policy = default_policy(dtype)
+        self.model = StyleGanGenerator(self.cfg, self.policy.compute_dtype)
+
+        if params is not None:
+            self.params = params
+        else:
+            path = join(gan_dir, f"stylegan-{gan}.params")
+            if isfile(path):
+                log.info("loading generator weights: %s", path)
+                self.params = jax.tree_util.tree_map(
+                    jnp.asarray, load_generator_params(path, self.cfg))
+            else:
+                log.warning("generator checkpoint %s not found; using random "
+                            "init (init='normal' std=1, "
+                            "image_generator.py:62-63)", path)
+                from ..models.stylegan import init_generator
+                _, self.params = init_generator(
+                    self.cfg, seed=seed,
+                    compute_dtype=self.policy.compute_dtype)
+
+        self._rng = jax.random.PRNGKey(seed)
+        self._fwd = jax.jit(self._forward)
+
+    def _forward(self, params, z, noise_rng):
+        rgb, feats = self.model.apply({"params": params}, z,
+                                      rngs={"noise": noise_rng})
+        return _to_uint8(rgb, self.cfg.imrange), feats
+
+    def _next_rngs(self):
+        self._rng, k1, k2 = jax.random.split(self._rng, 3)
+        return k1, k2
+
+    def sample_batch(self, batch_size: Optional[int] = None):
+        """One device-resident batch: (uint8 imgs, features list, z)."""
+        b = batch_size or self.batch_size
+        zk, nk = self._next_rngs()
+        z = jax.random.normal(zk, (b, self.cfg.latent_size), jnp.float32)
+        imgs, feats = self._fwd(self.params, z, nk)
+        return imgs, feats, z
+
+    def get_images(self, n: int) -> Iterator[Tuple[np.ndarray, List[np.ndarray]]]:
+        """Reference-compatible sample iterator (`image_generator.py:86-123`)."""
+        produced = 0
+        while produced < n:
+            b = min(self.batch_size, n - produced)
+            imgs, feats, z = self.sample_batch(self.batch_size)
+            imgs_np = np.asarray(imgs)[:b]
+            feats_np = [np.asarray(f)[:b] for f in feats]
+            z_np = np.asarray(z)[:b]
+            for i in range(b):
+                sample_feats = [f[i] for f in feats_np]
+                if self.return_latents:
+                    yield imgs_np[i], sample_feats, z_np
+                else:
+                    yield imgs_np[i], sample_feats
+            produced += b
+
+
+class FusedPipeline:
+    """z -> (image uint8, mask uint8) in one jit program (SURVEY §3.2)."""
+
+    def __init__(self, image_generator: ImageGenerator, solver):
+        self.gen = image_generator
+        self.solver = solver
+        gen_model = image_generator.model
+        dec_model = solver.model
+
+        def fused(gen_params, dec_params, dec_batch_stats, z, noise_rng):
+            rgb, feats = gen_model.apply({"params": gen_params}, z,
+                                         rngs={"noise": noise_rng})
+            feats = [f.astype(jnp.float32) for f in feats]
+            logits = dec_model.apply(
+                {"params": dec_params, "batch_stats": dec_batch_stats},
+                feats, False)
+            mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            return _to_uint8(rgb, image_generator.cfg.imrange), mask
+
+        self._fused = jax.jit(fused)
+
+    def sample_batch(self, batch_size: Optional[int] = None):
+        b = batch_size or self.gen.batch_size
+        zk, nk = self.gen._next_rngs()
+        z = jax.random.normal(zk, (b, self.gen.cfg.latent_size), jnp.float32)
+        return self._fused(self.gen.params, self.solver.params,
+                           self.solver.batch_stats, z, nk)
+
+    def generate_pairs(self, n: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield n (uint8 image HWC, uint8 mask HW) pairs.
+
+        Keeps one batch in flight: the device computes batch i+1 while the
+        host consumes batch i (JAX async dispatch).
+        """
+        b = self.gen.batch_size
+        pending = self.sample_batch(b)
+        produced = 0
+        while produced < n:
+            imgs_dev, masks_dev = pending
+            take = min(b, n - produced)
+            if produced + take < n:
+                pending = self.sample_batch(b)  # enqueue next before D2H wait
+            imgs = np.asarray(imgs_dev)
+            masks = np.asarray(masks_dev)
+            for i in range(take):
+                yield imgs[i], masks[i]
+            produced += take

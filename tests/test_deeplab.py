@@ -1,0 +1,198 @@
+"""DeepLab stack: backbone strides, augmentations, datasets, trainer/tester."""
+
+import types
+from pathlib import Path
+
+import cv2
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_segmentation_tpu.core.mesh import make_mesh
+from gan_segmentation_tpu.data.augment import (
+    CenterCrop, HorizontalFlip, PadIfNeeded, RandomCrop, RGBSegmentationAug,
+    ShiftScaleRotate,
+)
+from gan_segmentation_tpu.data.segmentation import (
+    CarSegmentation, FFHQHairSegmentation, imagenet_transform,
+)
+from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
+from gan_segmentation_tpu.models.resnet import resnet50_v1s
+from gan_segmentation_tpu.train.deeplab_trainer import (
+    MultiEvalModel, SegmentationTester, SegmentationTrainer,
+)
+
+
+class TestBackbone:
+    def test_output_stride_8(self):
+        m = resnet50_v1s(dilated=True)
+        x = jnp.zeros((1, 64, 64, 3))
+        v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x, False))(x)
+        c1, c3, c4 = jax.jit(lambda v, x: m.apply(v, x, False))(v, x)
+        assert c1.shape == (1, 16, 16, 256)   # stride 4
+        assert c3.shape == (1, 8, 8, 1024)    # dilated: stays at stride 8
+        assert c4.shape == (1, 8, 8, 2048)
+
+
+class TestAugment:
+    def test_pad_and_center_crop(self):
+        img = np.ones((20, 30, 3), np.uint8) * 100
+        mask = np.ones((20, 30), np.int32)
+        aug = RGBSegmentationAug([PadIfNeeded(32, 32), CenterCrop(32, 32)],
+                                 ignore_class=-1)
+        aimg, amask = aug(img, mask)
+        assert aimg.shape == (32, 32, 3) and amask.shape == (32, 32)
+        # padded mask pixels become class 0 (reference relabel outcome)
+        assert amask[0, 0] == 0 and amask[16, 16] == 1
+        assert aimg[0, 0, 0] == 0  # image padding is black
+
+    def test_random_crop_bounds(self):
+        img = np.arange(40 * 40 * 3, dtype=np.uint8).reshape(40, 40, 3)
+        mask = np.zeros((40, 40), np.int32)
+        rs = np.random.RandomState(0)
+        for _ in range(10):
+            ai, am = RandomCrop(16, 16)(img, mask, rs)
+            assert ai.shape == (16, 16, 3)
+
+    def test_hflip(self):
+        img = np.zeros((4, 4, 3), np.uint8)
+        img[:, 0] = 255
+        mask = np.zeros((4, 4), np.int32)
+        mask[:, 0] = 1
+        rs = np.random.RandomState(0)
+        flipped = False
+        for _ in range(20):
+            ai, am = HorizontalFlip(0.5)(img, mask, rs)
+            if ai[0, -1, 0] == 255:
+                flipped = True
+                assert am[0, -1] == 1
+        assert flipped
+
+    def test_ssr_keeps_labels_discrete(self):
+        img = np.random.RandomState(0).randint(0, 255, (33, 33, 3)).astype(np.uint8)
+        mask = np.random.RandomState(1).randint(0, 2, (33, 33)).astype(np.int32)
+        aug = RGBSegmentationAug(
+            [ShiftScaleRotate(rotate_limit=15, p=1)], ignore_class=-1)
+        _, amask = aug(img, mask)
+        assert set(np.unique(amask)) <= {0, 1}
+
+
+def make_rgb_dataset(root: Path, subdir: str, n: int, size: int = 96,
+                     with_ignore: bool = True, seed: int = 0):
+    d = root / subdir
+    d.mkdir(parents=True, exist_ok=True)
+    rs = np.random.RandomState(seed)
+    for i in range(n):
+        img = rs.randint(0, 255, (size, size, 3)).astype(np.uint8)
+        # learnable rule: bright area is "hair"
+        mask = (img.mean(-1) > 127).astype(np.uint8)
+        if with_ignore:
+            mask[:4, :] = 255  # 255 -> ignore (`ffhq:69`)
+        cv2.imwrite(str(d / f"img_{i:06d}.jpg"), img[:, :, ::-1])
+        cv2.imwrite(str(d / f"mask_{i:06d}.png"), mask)
+    return d
+
+
+class TestDatasets:
+    def test_ffhq_hair(self, tmp_path):
+        make_rgb_dataset(tmp_path, "val", 3)
+        ds = FFHQHairSegmentation(str(tmp_path), split="val", scale_factor=0.5)
+        assert len(ds) == 3
+        img, mask = ds[0]
+        assert img.shape == (48, 48, 3)
+        assert mask.shape == (48, 48)
+        assert -1 in np.unique(mask)  # 255 -> ignore
+        # ImageNet normalization applied
+        assert img.dtype == np.float32 and abs(float(img.mean())) < 3
+
+    def test_train_epoch_len(self, tmp_path):
+        make_rgb_dataset(tmp_path, "train", 2)
+        ds = FFHQHairSegmentation(str(tmp_path), split="train",
+                                  train_epoch_len=10, rng_seed=0)
+        assert len(ds) == 10  # random-with-replacement epoch
+
+    def test_car_binarize(self, tmp_path):
+        d = tmp_path / "val"
+        d.mkdir()
+        img = np.zeros((8, 8, 3), np.uint8)
+        mask = np.zeros((8, 8), np.uint8)
+        mask[2:4] = 7  # any positive value -> class 1
+        cv2.imwrite(str(d / "img_000000.jpg"), img)
+        cv2.imwrite(str(d / "mask_000000.png"), mask)
+        ds = CarSegmentation(str(tmp_path), split="val")
+        _, m = ds[0]
+        assert set(np.unique(m)) == {0, 1}
+
+
+@pytest.fixture(scope="module")
+def tiny_exp(tmp_path_factory):
+    root = tmp_path_factory.mktemp("rgbseg")
+    make_rgb_dataset(root, "train_generated", 6, size=96)
+    make_rgb_dataset(root, "val", 2, size=96)
+    return root
+
+
+def tiny_args(tmp_path, mesh):
+    return types.SimpleNamespace(
+        batch_size=2, test_batch_size=2, workers=0, weights=None,
+        start_epoch=0, logs_path=None, checkpoints_path=tmp_path / "ckpt",
+        mesh=mesh, seed=0, vizualization=False)
+
+
+class TestTrainerEndToEnd:
+    def test_train_validate_test(self, tiny_exp, tmp_path):
+        mesh = make_mesh()
+        args = tiny_args(tmp_path, mesh)
+        crop = 64
+        model = DeepLabV3Plus(nclass=2, aux=True, crop_size=crop)
+        model_cfg = {"num_classes": 2, "crop_size": crop, "base_size": 96,
+                     "aux": True, "aux_weight": 0.5}
+
+        aug = RGBSegmentationAug([PadIfNeeded(crop, crop),
+                                  RandomCrop(crop, crop)], ignore_class=-1)
+        vaug = RGBSegmentationAug([PadIfNeeded(crop, crop),
+                                   CenterCrop(crop, crop)], ignore_class=-1)
+        trainset = FFHQHairSegmentation(str(tiny_exp), split="train",
+                                        subdir="train_generated",
+                                        train_epoch_len=4,
+                                        transform=imagenet_transform,
+                                        augmentator=aug, rng_seed=0)
+        valset = FFHQHairSegmentation(str(tiny_exp), split="val",
+                                      transform=imagenet_transform,
+                                      augmentator=vaug)
+        trainer = SegmentationTrainer(
+            args, model, model_cfg, trainset, valset,
+            {"mode": "poly", "baselr": 0.005, "nepochs": 1, "wd": 2e-4,
+             "momentum": 0.9},
+            image_dump_interval=0, mesh=mesh)
+        trainer.training(0)
+        metrics = trainer.validation(0)
+        assert "accuracy" in metrics and 0 <= metrics["accuracy"] <= 1
+        ckpt = args.checkpoints_path / "last_checkpoint.params"
+        assert ckpt.exists()
+
+        # tester: sliding-window + flip at threshold 1e-15 on 96px val images
+        args.weights = str(ckpt)
+        tester = SegmentationTester(model, args, num_classes=2, use_flip=True,
+                                    scales=[1.0], threshold=1e-15,
+                                    base_size=96, crop_size=crop)
+        testset = FFHQHairSegmentation(str(tiny_exp), split="val",
+                                       transform=imagenet_transform,
+                                       augmentator=None)
+        result = tester.test(testset)
+        assert "accuracy" in result and "mean-iou" in result
+
+    def test_multi_eval_shapes(self, tiny_exp, tmp_path):
+        """MultiEvalModel covers both the pad-forward and sliding paths."""
+        crop = 64
+        model = DeepLabV3Plus(nclass=2, aux=True, crop_size=crop)
+        dummy = jnp.zeros((1, crop, crop, 3))
+        v = jax.jit(lambda x: model.init(jax.random.PRNGKey(0), x, False))(dummy)
+        ev = MultiEvalModel(model, v["params"], v.get("batch_stats", {}),
+                            nclass=2, base_size=96, crop_size=crop,
+                            flip=True, scales=[0.5, 1.0])
+        img = np.random.RandomState(0).randn(96, 80, 3).astype(np.float32)
+        scores = ev(img)
+        assert scores.shape == (96, 80, 2)
+        assert np.isfinite(scores).all()

@@ -1,0 +1,102 @@
+"""ImageGenerator + fused pipeline + CLI end-to-end at tiny resolution."""
+
+import numpy as np
+import pytest
+
+from gan_segmentation_tpu.core.config import SolverConfig
+from gan_segmentation_tpu.train.generator import FusedPipeline, ImageGenerator
+from gan_segmentation_tpu.train.solver import SegSolver
+
+from util_fixtures import make_annotation_dir
+
+
+@pytest.fixture(scope="module")
+def trained_setup(tmp_path_factory):
+    data = tmp_path_factory.mktemp("data")
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    make_annotation_dir(data, n_samples=4, max_res_log2=5, seed=0)
+    cfg = SolverConfig(max_res_log2=5)
+    cfg.train_epochs = 2
+    solver = SegSolver(5, str(data), str(ckpt), cfg=cfg)
+    solver.fit()
+    return data, ckpt, solver
+
+
+class TestImageGenerator:
+    def test_get_images_contract(self):
+        """reference API: yields (uint8 HWC image, [feature arrays])
+        (`image_generator.py:118-123`)."""
+        gen = ImageGenerator(gan="bedrooms", batch_size=3, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        samples = list(gen.get_images(5))
+        assert len(samples) == 5
+        img, feats = samples[0]
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        assert len(feats) == 4
+        assert feats[0].shape == (4, 4, 512)
+
+    def test_batches_are_distinct(self):
+        gen = ImageGenerator(gan="bedrooms", batch_size=2, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        (a, _), (b, _) = list(gen.get_images(2))
+        assert not np.array_equal(a, b)
+
+
+class TestFusedPipeline:
+    def test_generate_pairs(self, trained_setup):
+        _, _, solver = trained_setup
+        gen = ImageGenerator(gan="bedrooms", batch_size=4, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        pipe = FusedPipeline(gen, solver)
+        pairs = list(pipe.generate_pairs(6))
+        assert len(pairs) == 6
+        img, mask = pairs[0]
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        assert mask.shape == (32, 32) and mask.dtype == np.uint8
+        assert set(np.unique(mask)) <= {0, 1}
+
+
+class TestCLI:
+    def test_train_evaluate_generate(self, tmp_path, monkeypatch):
+        from gan_segmentation_tpu.apps.main import main
+
+        base = tmp_path / "exp"
+        (base / "data").mkdir(parents=True)
+        (base / "eval").mkdir()
+        make_annotation_dir(base / "data", n_samples=4, max_res_log2=5, seed=0)
+        make_annotation_dir(base / "eval", n_samples=2, max_res_log2=5, seed=5)
+
+        cfg_file = tmp_path / "config.yml"
+        cfg_file.write_text(f"""
+BASE_DIR: {base}
+GAN: bedrooms
+GAN_DIR: {tmp_path}/no-models
+GAN_GPU_IDS: [0]
+GAN_BATCH_SIZE_PER_GPU: 4
+SOLVER_GPU_IDS: [0]
+ANNOTATION: segmentation
+GENERATE_NUM: 5
+MAX_RES_LOG2: 5
+""")
+        # speed: shrink the decoder schedule via env-free monkeypatching
+        import gan_segmentation_tpu.apps.main as app
+        orig = app.SegSolver
+
+        def fast_solver(max_res_log2, data, ckpt, **kw):
+            from gan_segmentation_tpu.core.config import SolverConfig
+            cfg = SolverConfig(max_res_log2=max_res_log2)
+            cfg.train_epochs = 2
+            kw["cfg"] = cfg
+            return orig(max_res_log2, data, ckpt, **kw)
+
+        monkeypatch.setattr(app, "SegSolver", fast_solver)
+
+        main(["train", "--config", str(cfg_file)])
+        main(["evaluate", "--config", str(cfg_file)])
+        main(["generate", "--config", str(cfg_file)])
+
+        out = base / "dataset" / "train_generated"
+        imgs = sorted(p.name for p in out.glob("img_*.jpg"))
+        masks = sorted(p.name for p in out.glob("mask_*.png"))
+        assert len(imgs) == 5 and len(masks) == 5
+        assert imgs[0] == "img_000000.jpg" and masks[-1] == "mask_000004.png"
