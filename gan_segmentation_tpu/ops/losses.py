@@ -82,6 +82,67 @@ def normalized_focal_loss_softmax(logits, labels, *, gamma: float = 2.0,
     return loss, jnp.mean(mult)
 
 
+def area_normalized_focal_loss_softmax(logits, labels, area_weights, *,
+                                       gamma: float = 2.0,
+                                       area_gamma: float = 0.5,
+                                       ignore_label: int = -1,
+                                       eps: float = 1e-10,
+                                       size_average: bool = True):
+    """`lib/model/loss.py:66-113`: focal beta additionally weighted by
+    per-pixel ``area_weights ** area_gamma`` before renormalization."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
+    pt = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    valid = labels != ignore_label
+    pt = jnp.where(valid, pt, 1.0)
+    beta = ((1.0 - pt) ** gamma) * (area_weights.astype(jnp.float32)
+                                    ** area_gamma)
+    reduce_axes = (-2, -1)
+    t_sum = jnp.sum(valid.astype(jnp.float32), axis=reduce_axes, keepdims=True)
+    beta_sum = jnp.sum(beta, axis=reduce_axes, keepdims=True)
+    mult = t_sum / (beta_sum + eps)
+    beta = beta * mult
+    loss = -beta * jnp.log(jnp.minimum(pt + eps, 1.0))
+    nb = tuple(range(1, loss.ndim))
+    if size_average:
+        tsum = jnp.sum(valid.astype(jnp.float32), axis=nb)
+        loss = jnp.sum(loss, axis=nb) / (tsum + eps)
+    else:
+        loss = jnp.sum(loss, axis=nb)
+    return loss, jnp.mean(mult)
+
+
+def normalized_focal_loss_sigmoid(logits, labels, *, alpha: float = 0.25,
+                                  gamma: float = 2.0, eps: float = 1e-12,
+                                  size_average: bool = True,
+                                  scale: float = 1.0, normalize: bool = True):
+    """`lib/model/loss.py:123-171` (sigmoid focal with per-sample beta
+    renormalization)."""
+    pred = jax.nn.sigmoid(logits.astype(jnp.float32))
+    one_hot = labels > 0
+    pt = jnp.where(one_hot, pred, 1.0 - pred)
+    t = jnp.ones_like(pt)
+    alpha_w = jnp.where(one_hot, alpha * t, (1.0 - alpha) * t)
+    beta = (1.0 - pt) ** gamma
+    mult = jnp.ones(())
+    if normalize:
+        reduce_axes = (-2, -1)
+        t_sum = jnp.sum(t, axis=reduce_axes, keepdims=True)
+        beta_sum = jnp.sum(beta, axis=reduce_axes, keepdims=True)
+        mult = t_sum / (beta_sum + eps)
+        beta = beta * mult
+    loss = -alpha_w * beta * jnp.log(jnp.minimum(pt + eps, 1.0))
+    sample_weight = (labels != -1).astype(jnp.float32)
+    loss = loss * sample_weight
+    nb = tuple(range(1, loss.ndim))
+    if size_average:
+        tsum = jnp.sum(sample_weight, axis=nb)
+        loss = jnp.sum(loss, axis=nb) / (tsum + eps)
+    else:
+        loss = jnp.sum(loss, axis=nb)
+    return scale * loss, jnp.mean(mult)
+
+
 def focal_loss_sigmoid(logits, labels, *, alpha: float = 0.25, gamma: float = 2.0,
                        eps: float = 1e-9, size_average: bool = True,
                        scale: float = 1.0):
