@@ -31,14 +31,13 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0):
     gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
     scfg = SolverConfig(max_res_log2=max_res_log2)
-    dec = decoder_from_config(scfg)
+    dec = decoder_from_config(scfg, compute_dtype=dtype)
     feats = [jnp.zeros((1, 2 ** (i + 2), 2 ** (i + 2), c), jnp.float32)
              for i, c in enumerate(scfg.in_channels)]
     dvars = jax.jit(lambda f: dec.init(jax.random.PRNGKey(seed + 3), f, False))(feats)
 
     def fused(gp, dp, dbs, z, rng):
         rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
-        feats = [f.astype(jnp.float32) for f in feats]
         logits = dec.apply({"params": dp, "batch_stats": dbs}, feats, False)
         mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
         img = jnp.clip((rgb.astype(jnp.float32) + 1) * 127.5, 0, 255).astype(jnp.uint8)
@@ -50,21 +49,27 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0):
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2) -> float:
     fused_raw, gp, dp, dbs = build_fused(max_res_log2)
-    fused = jax.jit(fused_raw)
+
+    # measurement wrapper: reduce outputs to ONE scalar on device and pull
+    # it each iteration. On the axon remote backend block_until_ready is not
+    # a reliable completion barrier; an 8-byte D2H of a value data-dependent
+    # on the whole computation is.
+    @jax.jit
+    def fused_sum(gp, dp, dbs, z, rng):
+        img, mask = fused_raw(gp, dp, dbs, z, rng)
+        return jnp.sum(img.astype(jnp.int32)) + jnp.sum(mask.astype(jnp.int32))
+
     rng = jax.random.PRNGKey(0)
 
     def run(i):
         z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
-        img, mask = fused(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i))
-        return img, mask
+        return int(fused_sum(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i)))
 
     for i in range(warmup):
-        jax.block_until_ready(run(i))
-    # block every iteration: on the axon remote backend, block_until_ready
-    # on a whole list of results does not reliably wait for all of them
+        run(i)
     t0 = time.perf_counter()
     for i in range(iters):
-        jax.block_until_ready(run(warmup + i))
+        run(warmup + i)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

@@ -12,7 +12,9 @@ TPU-native re-design of `networks_seg.py`:
 
 BatchNorm: under `jit` with the batch axis sharded over the data mesh the
 moment reductions are global-batch, i.e. the reference's SyncBatchNorm
-(`networks_seg.py:17-21`) is the default behavior here.
+(`networks_seg.py:17-21`) is the default behavior here. BN statistics are
+always computed in f32; ``compute_dtype=bf16`` halves the HBM traffic of the
+1024^2 stages on the inference path.
 """
 
 from typing import Callable, List, Sequence
@@ -42,31 +44,35 @@ def mx_xavier_in(magnitude: float = 2.34) -> Callable:
     return init
 
 
-_conv_kw = dict(kernel_init=mx_xavier_in())
-
-
 class DecoderResBlock(nn.Module):
     conv_size: int
     use_bn: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        dt = self.compute_dtype
+
+        def conv(features, kernel, name, padding=1):
+            return nn.Conv(features, kernel, padding=padding, dtype=dt,
+                           kernel_init=mx_xavier_in(), name=name)
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                epsilon=1e-5, dtype=dt, name=name)
+
         in_c = x.shape[-1]
-        y = nn.Conv(self.conv_size, (3, 3), padding=1, name="conv_0",
-                    **_conv_kw)(x)
+        y = conv(self.conv_size, (3, 3), "conv_0")(x)
         if self.use_bn:
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="bn_0")(y)
+            y = bn("bn_0")(y)
         y = leaky_relu(y)
-        y = nn.Conv(self.conv_size, (3, 3), padding=1, name="conv_1",
-                    **_conv_kw)(y)
+        y = conv(self.conv_size, (3, 3), "conv_1")(y)
         if self.use_bn:
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-5, name="bn_1")(y)
+            y = bn("bn_1")(y)
         y = leaky_relu(y)
         sc = x
         if self.conv_size != in_c:
-            sc = nn.Conv(self.conv_size, (1, 1), name="shortcut", **_conv_kw)(x)
+            sc = conv(self.conv_size, (1, 1), "shortcut", padding=0)(x)
         return sc + y
 
 
@@ -81,20 +87,22 @@ class Decoder(nn.Module):
     start_res: int = 0
     use_bn: bool = True
     use_dropout: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, inputs: List[jnp.ndarray], train: bool = False):
+        dt = self.compute_dtype
         num_feats = len(self.in_channels)
         prev = None
         pred = None
         for i in range(self.start_res, num_feats):
-            x = inputs[i].astype(jnp.float32)
-            # cvt block
-            x = nn.Conv(self.features_cfg[i], (3, 3), padding=1,
-                        name=f"cvt_{i}_conv", **_conv_kw)(x)
+            x = inputs[i].astype(dt)
+            x = nn.Conv(self.features_cfg[i], (3, 3), padding=1, dtype=dt,
+                        kernel_init=mx_xavier_in(), name=f"cvt_{i}_conv")(x)
             if self.use_bn:
                 x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                 epsilon=1e-5, name=f"cvt_{i}_bn")(x)
+                                 epsilon=1e-5, dtype=dt,
+                                 name=f"cvt_{i}_bn")(x)
             x = leaky_relu(x)
             if self.use_dropout:
                 x = nn.Dropout(0.5, deterministic=not train,
@@ -106,18 +114,20 @@ class Decoder(nn.Module):
             if i < num_feats - 1:
                 x = upsample_nearest_2x(x)
                 pred = DecoderResBlock(self.features_cfg[i + 1],
-                                       use_bn=self.use_bn,
+                                       use_bn=self.use_bn, compute_dtype=dt,
                                        name=f"main_{i}")(x, train)
             else:
                 pred = nn.Conv(self.features_cfg[i + 1], (3, 3), padding=1,
-                               name=f"main_{i}_conv", **_conv_kw)(x)
+                               dtype=dt, kernel_init=mx_xavier_in(),
+                               name=f"main_{i}_conv")(x)
             prev = pred
-        return pred
+        return pred.astype(jnp.float32)
 
 
-def decoder_from_config(cfg: SolverConfig) -> Decoder:
+def decoder_from_config(cfg: SolverConfig, compute_dtype=jnp.float32) -> Decoder:
     return Decoder(features_cfg=tuple(cfg.features),
                    in_channels=tuple(cfg.in_channels),
                    start_res=cfg.start_res,
                    use_bn=cfg.use_bn,
-                   use_dropout=cfg.use_dropout)
+                   use_dropout=cfg.use_dropout,
+                   compute_dtype=compute_dtype)

@@ -112,16 +112,19 @@ class ImageGenerator:
 class FusedPipeline:
     """z -> (image uint8, mask uint8) in one jit program (SURVEY §3.2)."""
 
-    def __init__(self, image_generator: ImageGenerator, solver):
+    def __init__(self, image_generator: ImageGenerator, solver,
+                 inference_dtype=jnp.bfloat16):
         self.gen = image_generator
         self.solver = solver
         gen_model = image_generator.model
-        dec_model = solver.model
+        # inference copy of the decoder in bf16: params stay f32, BN stats
+        # are f32 inside flax; activations at 1024^2 halve their HBM traffic
+        dec_model = (solver.model.clone(compute_dtype=inference_dtype)
+                     if inference_dtype is not None else solver.model)
 
         def fused(gen_params, dec_params, dec_batch_stats, z, noise_rng):
             rgb, feats = gen_model.apply({"params": gen_params}, z,
                                          rngs={"noise": noise_rng})
-            feats = [f.astype(jnp.float32) for f in feats]
             logits = dec_model.apply(
                 {"params": dec_params, "batch_stats": dec_batch_stats},
                 feats, False)
