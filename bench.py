@@ -61,15 +61,20 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
     rng = jax.random.PRNGKey(0)
 
-    def run(i):
+    def launch(i):
         z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
-        return int(fused_sum(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i)))
+        return fused_sum(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i))
 
     for i in range(warmup):
-        run(i)
+        int(launch(i))
+    # pipelined measurement (matches production: generate_pairs keeps batches
+    # in flight): launch all iterations async, then pull every checksum.
+    # The remote backend has a ~26 ms synchronous roundtrip; pipelining
+    # amortizes it like the real writer loop does.
     t0 = time.perf_counter()
-    for i in range(iters):
-        run(warmup + i)
+    sums = [launch(warmup + i) for i in range(iters)]
+    for s in sums:
+        int(s)
     dt = time.perf_counter() - t0
     return batch * iters / dt
 

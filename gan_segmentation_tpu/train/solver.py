@@ -98,12 +98,32 @@ class SegSolver:
         return ds, iters_per_epoch
 
     # ----------------------------------------------------------------- train
-    def _make_optimizer(self):
+    def _make_lr(self, iters_per_epoch: int):
+        """LR schedule selection (`seg_solver.py:194-206`): None, 'steps'
+        (MultiFactor), or 'cos' (warmup + cosine to base/1000)."""
         cfg = self.cfg
+        if cfg.scheduler is None:
+            return cfg.base_lr
+        if cfg.scheduler == "steps":
+            steps = {int(s * iters_per_epoch): cfg.factor_d
+                     for s in getattr(cfg, "epochs_steps", [])}
+            return optax.piecewise_constant_schedule(cfg.base_lr, steps)
+        if cfg.scheduler == "cos":
+            warmup = iters_per_epoch
+            total = cfg.train_epochs * iters_per_epoch
+            return optax.warmup_cosine_decay_schedule(
+                init_value=cfg.base_lr / 10, peak_value=cfg.base_lr,
+                warmup_steps=warmup, decay_steps=total,
+                end_value=cfg.base_lr / 1000)
+        raise ValueError(cfg.scheduler)
+
+    def _make_optimizer(self, iters_per_epoch: int = 1):
+        cfg = self.cfg
+        lr = self._make_lr(iters_per_epoch)
         if cfg.optimizer == "adam":
-            tx = optax.adam(cfg.base_lr)
+            tx = optax.adam(lr)
         elif cfg.optimizer == "sgd":
-            tx = optax.sgd(cfg.base_lr, momentum=cfg.momentum or 0.0)
+            tx = optax.sgd(lr, momentum=cfg.momentum or 0.0)
         else:
             raise ValueError(cfg.optimizer)
         if cfg.wd:
@@ -141,7 +161,7 @@ class SegSolver:
             self.reinit()
         cfg = self.cfg
         dataset, iters_per_epoch = self.init_data()
-        tx = self._make_optimizer()
+        tx = self._make_optimizer(iters_per_epoch)
         opt_state = jax.jit(tx.init)(self.params)
         state = SolverState(self.params, self.batch_stats, opt_state,
                             jnp.zeros((), jnp.int32))

@@ -1,0 +1,58 @@
+"""Config merger, profiling helpers, solver LR schedules."""
+
+import numpy as np
+
+from gan_segmentation_tpu.core.config import SolverConfig
+from gan_segmentation_tpu.core.yaml_config import AttrDict, cfg, load_config
+from gan_segmentation_tpu.utils.profiling import Speedometer, trace
+
+
+class TestYamlConfig:
+    def test_merge_semantics(self, tmp_path):
+        cfg.clear()
+        cfg["training"] = AttrDict({"lr": 0.1, "epochs": 10})
+        p = tmp_path / "c.yml"
+        p.write_text("training:\n  lr: 0.01\nnew_key: 5\nnested:\n  a: 1\n")
+        out = load_config(str(p))
+        assert out.training.lr == 0.01
+        assert out.training.epochs == 10  # merged, not replaced
+        assert out.new_key == 5
+        assert out.nested.a == 1
+
+
+class TestSpeedometer:
+    def test_rates(self):
+        sp = Speedometer(display_every=2, n_chips=2)
+        assert sp.update(4) is None
+        rate = sp.update(4)
+        assert rate is not None and rate > 0  # 2*4 samples / dt / 2 chips
+
+    def test_trace_noop(self, tmp_path):
+        with trace(str(tmp_path), enabled=False):
+            pass  # must not raise
+
+
+class TestSolverSchedules:
+    def _solver_lr(self, scheduler, **extra):
+        from gan_segmentation_tpu.train.solver import SegSolver
+        cfg = SolverConfig(max_res_log2=5)
+        cfg.scheduler = scheduler
+        for k, v in extra.items():
+            setattr(cfg, k, v)
+        solver = SegSolver.__new__(SegSolver)
+        solver.cfg = cfg
+        return solver._make_lr(iters_per_epoch=10)
+
+    def test_none(self):
+        assert self._solver_lr(None) == 1e-4
+
+    def test_cos(self):
+        lr = self._solver_lr("cos")
+        np.testing.assert_allclose(float(lr(0)), 1e-5, rtol=1e-4)   # base/10
+        np.testing.assert_allclose(float(lr(10)), 1e-4, rtol=1e-4)  # peak
+        assert float(lr(240)) <= 1.01e-6                            # base/1000
+
+    def test_steps(self):
+        lr = self._solver_lr("steps", epochs_steps=[1, 2])
+        np.testing.assert_allclose(float(lr(5)), 1e-4, rtol=1e-4)
+        np.testing.assert_allclose(float(lr(15)), 1e-5, rtol=1e-4)  # x factor_d
