@@ -71,6 +71,7 @@ class SolverConfig:
     max_res_log2: int = 10
     seed: int = 1
     kvstore: str = "nccl"
+    cache_max_size: int = 4  # GB (`seg_solver.py:88`)
     num_classes: int = 2
     not_ignore_classes: Optional[Sequence[int]] = None
     cls_type: str = "hair"

@@ -184,3 +184,27 @@ class Blur(nn.Module):
     def __call__(self, x):
         k = blur_kernel(x.shape[-1], dtype=x.dtype)
         return depthwise_conv2d(x, k, padding=1)
+
+
+def minibatch_std_layer(x, group_size: int):
+    """`networks_stylegan.py:327-345` (discriminator-side): append a feature
+    map holding the per-group mean feature stddev. NHWC."""
+    n, h, w, c = x.shape
+    assert n % group_size == 0, (n, group_size)
+    y = x.astype(jnp.float32).reshape(group_size, n // group_size, h, w, c)
+    y = y - jnp.mean(y, axis=0, keepdims=True)
+    y = jnp.mean(jnp.square(y), axis=0)
+    y = jnp.sqrt(y + 1e-8)
+    y = jnp.mean(y, axis=(1, 2, 3), keepdims=True)          # (M,1,1,1)
+    y = jnp.tile(y, (group_size, h, w, 1)).astype(x.dtype)  # (N,H,W,1)
+    return jnp.concatenate([x, y], axis=-1)
+
+
+def normal_with_l2_norm(sigma: float = 0.01):
+    """`networks_stylegan.py:548-555`: N(0, sigma) then L2-normalized."""
+
+    def init(key, shape, dtype=jnp.float32):
+        arr = sigma * jax.random.normal(key, shape, dtype)
+        return arr / (jnp.linalg.norm(arr) + 1e-12)
+
+    return init

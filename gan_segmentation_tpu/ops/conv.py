@@ -70,6 +70,14 @@ def depthwise_conv2d(x, w, b=None, *, stride: _IntOrPair = 1, padding=0,
                   dilation=dilation, groups=c)
 
 
+# Note on narrow-layer conv performance: XLA's TPU conv kernel runs at
+# ~1-4% of MXU peak when channel counts are far below the 128-lane width.
+# XLA-level im2col/row-concat reformulations were measured SLOWER (the
+# materialized 3x/9x input copies cost more HBM traffic than the bad conv
+# kernel wastes in compute). The winning approach keeps the taps in VMEM —
+# see `ops/pallas/small_conv.py`.
+
+
 def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding: int = 1):
     """Transposed conv matching mxnet ``Deconvolution(kernel=k, stride=s, pad=p)``.
 

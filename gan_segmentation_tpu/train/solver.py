@@ -76,10 +76,22 @@ class SegSolver:
         variables = jax.jit(
             lambda f: self.model.init(jax.random.PRNGKey(seed), f, False)
         )(feats)
-        n_params = sum(int(np.prod(p.shape))
-                       for p in jax.tree_util.tree_leaves(variables["params"]))
-        log.info("decoder params: %d", n_params)
+        self.print_params(variables["params"], "decoder")
         return variables["params"], variables.get("batch_stats", {})
+
+    @staticmethod
+    def print_params(params, title: str):
+        """Parameter table like `seg_solver.py:60-81`."""
+        flat = jax.tree_util.tree_flatten_with_path(params)[0]
+        log.info("%-48s%-12s%-24s%-10s", title, "params", "weight shape", "dtype")
+        total = 0
+        for path, leaf in flat:
+            name = "/".join(getattr(p, "key", str(p)) for p in path)
+            n = int(np.prod(leaf.shape)) if leaf.shape else 1
+            total += n
+            log.info("%-48s%-12d%-24s%-10s", name, n, str(tuple(leaf.shape)),
+                     str(leaf.dtype))
+        log.info("%-48s%-12d", "total", total)
 
     def reinit(self):
         self.params, self.batch_stats = self._init_net(self.seed)
@@ -92,6 +104,19 @@ class SegSolver:
                                load_to_memory=False)
         if len(ds) <= 0:
             raise ValueError("number of training samples should be > 0")
+        # cache the collection in RAM when it fits the reference's
+        # cache_max_size budget (GB) — with ~20 samples x ~130 MB of fp32
+        # features, re-reading pickles every epoch costs more than the
+        # train step itself (`seg_solver.py:88` declares the budget)
+        cache_gb = getattr(self.cfg, "cache_max_size", 4)
+        try:
+            sample = ds.load_sample(ds._feat_names[0])
+            sample_bytes = sum(f.nbytes for f in sample[2]) + sample[1].nbytes
+            if sample_bytes * len(ds) <= cache_gb * (1024 ** 3):
+                ds = CollectionDataset(self.path_to_data, self.cfg,
+                                       max_samples=None, load_to_memory=True)
+        except Exception:
+            pass
         iters_per_epoch = len(ds) // self.cfg.train_batch_size
         log.info("total train samples: %d, batch size: %d, epoch size: %d",
                  len(ds), self.cfg.train_batch_size, iters_per_epoch)

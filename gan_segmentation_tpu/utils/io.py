@@ -1,8 +1,13 @@
 """Filesystem helpers (`utils.py:18-66` in the reference)."""
 
-from os import walk
+from os import listdir, walk
 from os.path import isdir, isfile, islink, join, sep, splitext
 from typing import List, Sequence
+
+
+def list_subdirs(base_dir: str) -> List[str]:
+    """`utils.py:9-15`."""
+    return [f for f in listdir(base_dir) if isdir(join(base_dir, f))]
 
 
 def list_files_with_ext(base_dir: str, valid_exts: Sequence[str],
