@@ -36,10 +36,12 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0):
              for i, c in enumerate(scfg.in_channels)]
     dvars = jax.jit(lambda f: dec.init(jax.random.PRNGKey(seed + 3), f, False))(feats)
 
+    from gan_segmentation_tpu.train.generator import class_mask
+
     def fused(gp, dp, dbs, z, rng):
         rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
         logits = dec.apply({"params": dp, "batch_stats": dbs}, feats, False)
-        mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+        mask = class_mask(logits)
         img = jnp.clip((rgb.astype(jnp.float32) + 1) * 127.5, 0, 255).astype(jnp.uint8)
         return img, mask
 

@@ -23,8 +23,15 @@ def pixel_norm(x, eps: float = 1e-8, axis: int = -1):
 
 
 def instance_norm(x, eps: float = 1e-5):
-    """(N,H,W,C): standardize each (n, c) slice over H,W. No affine."""
+    """(N,H,W,C): standardize each (n, c) slice over H,W. No affine.
+
+    One-pass moments (var = E[x^2] - mean^2) so XLA emits a single fused
+    read of the activation instead of the two-pass (x - mean)^2 form —
+    measurably faster at 1024^2 (profiler: the two-pass reductions were
+    among the top ops of the fused pipeline).
+    """
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    mean_sq = jnp.mean(jnp.square(xf), axis=(1, 2), keepdims=True)
+    var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
     return ((xf - mean) * lax.rsqrt(var + eps)).astype(x.dtype)

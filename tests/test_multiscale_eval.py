@@ -1,0 +1,72 @@
+"""MultiEvalModel paths: multi-scale, flip, prob-avg, pad vs sliding."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gan_segmentation_tpu.models.decoder import mx_xavier_in
+from gan_segmentation_tpu.train.deeplab_trainer import MultiEvalModel, _pad_image
+from flax import linen as nn
+
+
+class TinySeg(nn.Module):
+    """A trivially cheap 'segmentation model' for eval-protocol tests."""
+
+    nclass: int = 2
+
+    @nn.compact
+    def __call__(self, x, train=False):
+        y = nn.Conv(self.nclass, (3, 3), padding=1,
+                    kernel_init=mx_xavier_in())(x)
+        return (y,)
+
+
+def build(nclass=2, crop=32, base=48, scales=(1.0,), flip=True, prob_avg=False):
+    m = TinySeg(nclass)
+    v = jax.jit(lambda x: m.init(jax.random.PRNGKey(0), x, False))(
+        jnp.zeros((1, crop, crop, 3)))
+    return MultiEvalModel(m, v["params"], v.get("batch_stats", {}), nclass,
+                          base_size=base, crop_size=crop, flip=flip,
+                          scales=scales, prob_avg=prob_avg)
+
+
+def test_output_shape_and_finiteness():
+    ev = build(scales=(0.5, 1.0, 1.5))
+    img = np.random.RandomState(0).randn(48, 40, 3).astype(np.float32)
+    scores = ev(img)
+    assert scores.shape == (48, 40, 2)
+    assert np.isfinite(scores).all()
+
+
+def test_single_scale_small_image_pads():
+    """image smaller than crop -> pad + single forward path."""
+    ev = build(crop=32, base=16, scales=(1.0,), flip=False)
+    img = np.random.RandomState(0).randn(16, 16, 3).astype(np.float32)
+    scores = ev(img)
+    assert scores.shape == (16, 16, 2)
+
+
+def test_flip_symmetry():
+    """flip-averaged scores of a mirrored image are mirrored scores."""
+    ev = build(crop=32, base=32, scales=(1.0,), flip=True)
+    img = np.random.RandomState(1).randn(32, 32, 3).astype(np.float32)
+    s1 = ev(img)
+    s2 = ev(img[:, ::-1].copy())
+    np.testing.assert_allclose(s1, s2[:, ::-1], rtol=1e-4, atol=1e-5)
+
+
+def test_prob_avg_changes_combination():
+    ev_logit = build(crop=32, base=48, scales=(1.0,), flip=True)
+    ev_prob = build(crop=32, base=48, scales=(1.0,), flip=True, prob_avg=True)
+    img = np.random.RandomState(2).randn(48, 48, 3).astype(np.float32)
+    a, b = ev_logit(img), ev_prob(img)
+    assert not np.allclose(a, b)
+    # prob-avg outputs are probabilities in [0, 1]
+    assert b.min() >= 0 and b.max() <= 1 + 1e-5
+
+
+def test_pad_image():
+    img = np.ones((10, 20, 3), np.float32)
+    out = _pad_image(img, 16)
+    assert out.shape == (16, 20, 3)
+    assert out[10:].sum() == 0
