@@ -257,9 +257,11 @@ class SegSolver:
         return self._get_predict_fn()(self.params, self.batch_stats, feats)
 
     def predict(self, features: List[np.ndarray]) -> np.ndarray:
-        """-> (N, H, W, 1) int64 argmax masks (`seg_solver.py:307-329`)."""
+        """-> (N, H, W, 1) argmax masks (`seg_solver.py:307-329`). Binary
+        case uses a single compare (see generator.class_mask)."""
+        from .generator import class_mask
         logits = self.predict_logits(features)
-        masks = jnp.argmax(logits, axis=-1)[..., None]
+        masks = class_mask(logits).astype(np.int64)[..., None]
         return np.asarray(masks)
 
     # -------------------------------------------------------------- evaluate
