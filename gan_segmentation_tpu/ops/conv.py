@@ -78,6 +78,39 @@ def depthwise_conv2d(x, w, b=None, *, stride: _IntOrPair = 1, padding=0,
 # see `ops/pallas/small_conv.py`.
 
 
+def conv_transpose2d_subpixel(x, w, b=None):
+    """k4 s2 p1 transposed conv via parity decomposition (inference path).
+
+    The lhs-dilation formulation multiplies against inserted zeros: of the
+    16 kernel taps only 4 contribute to any output pixel. Decomposing by
+    output parity gives four dense 2x2 convs at *input* resolution plus a
+    free interleave (depth-to-space):
+        y[2o+a] = sum_d x[o-1+a+d] * K_a[d],  K_0 = [w0, w2], K_1 = [w1, w3]
+    (per axis; ``w`` in our conv-equivalent orientation, see
+    conv_transpose2d). 4x fewer MACs than the dilated form.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (4, 4), "subpixel path is specific to k4 s2 p1"
+    rows = {0: ((1, 0), (0, 2)), 1: ((0, 1), (1, 3))}
+    outs = []
+    for a in range(2):
+        for c in range(2):
+            pad_y, ky = rows[a]
+            pad_x, kx = rows[c]
+            sub = w[jnp.array(ky)][:, jnp.array(kx)]  # (2, 2, cin, cout)
+            y = lax.conv_general_dilated(
+                x, sub, (1, 1), [pad_y, pad_x],
+                dimension_numbers=DIMENSION_NUMBERS,
+                preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None)
+            outs.append(y)
+    n, h, w_size, _ = outs[0].shape
+    y = jnp.stack(outs, axis=3).reshape(n, h, w_size, 2, 2, cout)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h, 2 * w_size, cout)
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding: int = 1):
     """Transposed conv matching mxnet ``Deconvolution(kernel=k, stride=s, pad=p)``.
 

@@ -214,3 +214,17 @@ class TestLosses:
         l2 = np.asarray(weighted_softmax_ce(jnp.asarray(logits), jnp.asarray(labels),
                                             jnp.asarray(w2)))
         np.testing.assert_allclose(l2, 2 * l1, rtol=1e-5)
+
+
+class TestSubpixelDeconv:
+    def test_matches_dilated_form(self, rng):
+        from gan_segmentation_tpu.ops.conv import (
+            conv_transpose2d, conv_transpose2d_subpixel,
+        )
+        x = jnp.asarray(rng.randn(2, 8, 8, 4).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, 4, 3).astype(np.float32) * 0.1)
+        b = jnp.asarray(rng.randn(3).astype(np.float32))
+        ref = conv_transpose2d(x, w, b, stride=2, padding=1)
+        got = conv_transpose2d_subpixel(x, w, b)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
