@@ -83,7 +83,7 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=32)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--max-res-log2", type=int, default=10)
     args = ap.parse_args()
