@@ -115,6 +115,9 @@ def add_exp_args(parser):
                         default="../../../experiments/ffhq-hair/dataset")
     # smoke-scale overrides (not in the reference CLI): shrink the schedule
     # for quick end-to-end validation runs
+    parser.add_argument("--backbone-weights", type=str, default=None,
+                        help="gluoncv resnet50_v1s .params file (ImageNet "
+                             "pretrained backbone, converted on load)")
     parser.add_argument("--crop-size", type=int, default=None)
     parser.add_argument("--base-size", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)

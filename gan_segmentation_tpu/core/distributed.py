@@ -1,0 +1,62 @@
+"""Multi-host bootstrap.
+
+The reference is single-host (SURVEY §2.3: no MPI/Gloo/UCX). On TPU pods,
+multi-host is one call away: every train step in this framework is plain
+``jit`` over a `Mesh`, so once `jax.distributed` is initialized and the
+mesh is built over `jax.devices()` (all hosts' devices), the same code runs
+data-parallel across hosts — XLA routes gradient/BN reductions over ICI
+within a slice and DCN across slices.
+
+Usage on each host of a pod slice (env-driven, e.g. GKE/TPU-VM):
+
+    from gan_segmentation_tpu.core.distributed import initialize
+    initialize()                  # no-op on single host
+    mesh = make_mesh()            # now spans every host's chips
+
+Per-host data sharding: feed each process its own batch shard and construct
+global arrays with `make_global_batch`.
+"""
+
+from typing import Optional
+
+import jax
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> bool:
+    """Initialize jax.distributed; returns True if multi-host is active.
+
+    With no args, relies on the TPU environment auto-detection; silently
+    stays single-host when no cluster is configured.
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except Exception:
+        return False
+    return jax.process_count() > 1
+
+
+def make_global_batch(mesh, per_host_batch):
+    """Assemble a global, data-sharded array from this host's shard.
+
+    ``per_host_batch``: numpy array whose leading dim is this process's
+    share of the global batch. Returns a jax.Array spanning all hosts.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x):
+        x = np.asarray(x)
+        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+        local_devices = [d for d in mesh.devices.flat
+                         if d.process_index == jax.process_index()]
+        per_dev = np.array_split(x, len(local_devices), axis=0)
+        arrays = [jax.device_put(s, d) for s, d in zip(per_dev, local_devices)]
+        return jax.make_array_from_single_device_arrays(
+            global_shape, sharding, arrays)
+
+    return jax.tree_util.tree_map(put, per_host_batch)

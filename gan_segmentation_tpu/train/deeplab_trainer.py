@@ -137,6 +137,19 @@ class SegmentationTrainer:
             lambda x: model.init(jax.random.PRNGKey(0), x, False))(dummy)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
+        if getattr(args, "backbone_weights", None):
+            # ImageNet-pretrained gluoncv resnet50_v1s (the reference's
+            # pretrained_base=True, `deeplabv3plus.py:92`)
+            from ..core.backbone_convert import load_pretrained_backbone
+            bb_params, bb_stats = load_pretrained_backbone(args.backbone_weights)
+            params = dict(params)
+            batch_stats = dict(batch_stats)
+            params["backbone"] = jax.tree_util.tree_map(jnp.asarray, bb_params)
+            batch_stats["backbone"] = jax.tree_util.tree_map(jnp.asarray,
+                                                             bb_stats)
+            logger.info("loaded pretrained backbone from %s",
+                        args.backbone_weights)
+
         if getattr(args, "weights", None):
             if isfile(args.weights):
                 params, batch_stats = load_checkpoint(

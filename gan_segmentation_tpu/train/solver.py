@@ -58,7 +58,10 @@ class SegSolver:
         self.mesh = mesh or make_mesh()
         self.seed = self.cfg.seed if seed is None else seed
 
-        self.model = decoder_from_config(self.cfg)
+        # cfg.dtype: 'fp32' (reference default) | 'bf16' training compute
+        compute_dtype = (jnp.bfloat16 if self.cfg.dtype in ("bf16", "bfloat16")
+                         else jnp.float32)
+        self.model = decoder_from_config(self.cfg, compute_dtype=compute_dtype)
         self.params_file = None
         self._predict_fn = None
         self._train_step_fn = None
