@@ -352,8 +352,17 @@ class SegSolver:
             return False
         params_file = files[0]
         log.info("loading checkpoint: %s", params_file)
-        with open(join(self.checkpoints_dir, params_file), "rb") as fp:
-            restored = serialization.msgpack_restore(fp.read())
+        full_path = join(self.checkpoints_dir, params_file)
+        from ..core.mx_params import is_mx_params_file, load_mx_ndarray_file
+        if is_mx_params_file(full_path):
+            # a reference (mxnet) decoder checkpoint: convert on load
+            from ..core.decoder_convert import convert_decoder_params
+            p, bs = convert_decoder_params(load_mx_ndarray_file(full_path),
+                                           self.cfg)
+            restored = {"params": p, "batch_stats": bs}
+        else:
+            with open(full_path, "rb") as fp:
+                restored = serialization.msgpack_restore(fp.read())
         template = {"params": jax.device_get(self.params),
                     "batch_stats": jax.device_get(self.batch_stats)}
         restored = serialization.from_state_dict(template, restored)
