@@ -133,7 +133,11 @@ class GaussianBlur:
 
     def __call__(self, img, mask, rs):
         if rs.rand() < self.p:
-            img = cv2.GaussianBlur(img, (0, 0), rs.rand() * self.sigma_max * 3)
+            # sigma_max is the actual bound; default 1/3 matches the PSP
+            # pipeline's random()/3 (`rgb_segmentation.py:31-104`)
+            sigma = rs.rand() * self.sigma_max
+            if sigma > 1e-6:  # cv2 rejects sigma=0 with an auto kernel size
+                img = cv2.GaussianBlur(img, (0, 0), sigma)
         return img, mask
 
 

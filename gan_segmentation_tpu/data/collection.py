@@ -43,19 +43,34 @@ def gray_from_trimap(trimap: np.ndarray) -> np.ndarray:
     return out
 
 
-def to_nhwc_feature(arr: np.ndarray) -> np.ndarray:
+def to_nhwc_feature(arr: np.ndarray,
+                    expected_channels: Optional[int] = None) -> np.ndarray:
     """Accept a single feature map as CHW/NCHW (reference pickles) or
-    HWC/NHWC (ours) and return HWC float32. Square spatial dims let us
-    disambiguate: a CHW array has shape (C, R, R) with C != R for every
-    resolution of every supported GAN config."""
+    HWC/NHWC and return HWC float32.
+
+    Layout is decided against ``expected_channels`` (the generator channel
+    table, GanConfig.num_features / SolverConfig.in_channels) when the
+    caller knows it. A perfect cube — e.g. the 128-channel 128x128 scale of
+    every ffhq/cars/bedrooms pyramid — is indistinguishable by shape alone,
+    so it defaults to CHW: every pickle writer in this ecosystem (the
+    reference annotator `seg_annotator.py:322-337`, our
+    ``save_annotation_sample``, and ``apps/annotator.py``) stores CHW.
+    """
     if arr.ndim == 4:
         arr = arr[0]
     assert arr.ndim == 3, arr.shape
-    c_first, h, w = arr.shape
-    if h == w and c_first != h:
-        arr = np.transpose(arr, (1, 2, 0))
-    elif arr.shape[0] == arr.shape[1] and arr.shape[2] != arr.shape[0]:
-        pass  # already HWC
+    d0, d1, d2 = arr.shape
+    if expected_channels is not None:
+        chw = d0 == expected_channels and d1 == d2
+        hwc = d2 == expected_channels and d0 == d1
+        if chw:  # on a cube both match; CHW is the on-disk convention
+            arr = np.transpose(arr, (1, 2, 0))
+        elif not hwc:
+            raise ValueError(
+                f"feature shape {arr.shape} matches neither CHW nor HWC "
+                f"with {expected_channels} channels")
+    elif d0 == d1 == d2 or (d1 == d2 and d0 != d1):
+        arr = np.transpose(arr, (1, 2, 0))  # CHW (cubes: disk convention)
     return np.ascontiguousarray(arr, np.float32)
 
 
@@ -75,6 +90,14 @@ class CollectionDataset:
                 not_ignore_classes = getattr(cfg, "not_ignore_classes", None)
         self._preprocess_mask = True if preprocess_mask is None else preprocess_mask
         self._not_ignore_classes = not_ignore_classes
+        # expected per-scale channel counts: disambiguates pickle layout at
+        # the cube-shaped 128px scale (see to_nhwc_feature)
+        self._expected_channels = None
+        if cfg is not None:
+            chans = getattr(cfg, "in_channels", None) or \
+                getattr(cfg, "feature_channels", None)
+            if chans:
+                self._expected_channels = list(chans)
         self._allow_missed_mask = allow_missed_mask
         self._output_idx = output_idx
         self._db_dir = db_dir
@@ -113,7 +136,15 @@ class CollectionDataset:
 
         with open(join(self._db_dir, feature_name), "rb") as fp:
             features = pickle.load(fp)
-        features = [to_nhwc_feature(np.asarray(f)) for f in features]
+        expected = self._expected_channels
+        if expected is not None and len(expected) != len(features):
+            raise ValueError(
+                f"{feature_name}: {len(features)} feature scales but the "
+                f"config expects {len(expected)} ({expected})")
+        features = [
+            to_nhwc_feature(np.asarray(f),
+                            expected[i] if expected is not None else None)
+            for i, f in enumerate(features)]
         return mask, np.ascontiguousarray(img), features
 
     def get_item(self, idx: int):

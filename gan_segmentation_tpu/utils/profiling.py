@@ -19,11 +19,22 @@ def trace(logdir: str, enabled: bool = True):
     if not enabled:
         yield
         return
+    # Guard only the profiler start/stop — an exception raised by the user's
+    # body must propagate, not be swallowed (a swallowed body exception made
+    # the generator yield twice, which contextlib masks as a RuntimeError).
     try:
-        with jax.profiler.trace(logdir):
-            yield
+        jax.profiler.start_trace(logdir)
+        started = True
     except Exception:  # profiler unsupported on some backends (axon tunnel)
+        started = False
+    try:
         yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
 
 class Speedometer:

@@ -52,6 +52,46 @@ class TestCollectionDataset:
         assert set(np.unique(mask)) <= {-1, 0, 1}
         assert (mask[:2] == -1).all()  # ignore band survived the roundtrip
 
+    def test_cube_feature_layout(self, tmp_path):
+        """The 128px scale of every supported pyramid is a (128,128,128)
+        cube — shape alone cannot disambiguate CHW from HWC. Both the
+        reference annotator and our writers store CHW; verify a cube
+        round-trips un-scrambled, with and without a config (ADVICE r1)."""
+        import pickle
+        import cv2
+        from gan_segmentation_tpu.data.collection import to_nhwc_feature
+
+        rs = np.random.RandomState(0)
+        chw = rs.randn(128, 128, 128).astype(np.float32)
+        # direct: expected_channels picks CHW on the ambiguous cube
+        out = to_nhwc_feature(chw, expected_channels=128)
+        np.testing.assert_array_equal(out, np.transpose(chw, (1, 2, 0)))
+        # no-config fallback must also default cubes to CHW (disk convention)
+        np.testing.assert_array_equal(
+            to_nhwc_feature(chw), np.transpose(chw, (1, 2, 0)))
+        # unambiguous HWC passes through; wrong channel count raises
+        hwc = rs.randn(16, 16, 32).astype(np.float32)
+        np.testing.assert_array_equal(
+            to_nhwc_feature(hwc, expected_channels=32), hwc)
+        with pytest.raises(ValueError):
+            to_nhwc_feature(hwc, expected_channels=64)
+
+        # end-to-end through CollectionDataset with a cfg whose channel
+        # table includes a cube scale
+        cv2.imwrite(str(tmp_path / "img_000000.jpg"),
+                    np.zeros((128, 128, 3), np.uint8))
+        cv2.imwrite(str(tmp_path / "mask_000000.png"),
+                    np.zeros((128, 128), np.uint8))
+        feats = [rs.randn(512, 4, 4).astype(np.float32), chw]
+        with open(tmp_path / "feat_000000.pickle", "wb") as fp:
+            pickle.dump(feats, fp)
+        cfg = dataclasses.make_dataclass("C", ["in_channels"])(  # duck cfg
+            in_channels=[512, 128])
+        ds = CollectionDataset(str(tmp_path), cfg=cfg, load_to_memory=True)
+        _, _, loaded = ds[0]
+        np.testing.assert_array_equal(loaded[1],
+                                      np.transpose(chw, (1, 2, 0)))
+
     def test_batches(self, annotation_dir):
         ds = CollectionDataset(str(annotation_dir), load_to_memory=False)
         batches = list(ds.batches(2, shuffle=True, seed=1))
