@@ -13,7 +13,7 @@ here pretrained weights arrive as a converted pytree checkpoint (see
 `core/mx_params.py` for the mxnet reader) via ``pretrained_path``.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -25,29 +25,33 @@ class BottleneckV1b(nn.Module):
     dilation: int = 1
     downsample: bool = False
     expansion: int = 4
+    # compute dtype (params/BN stats stay f32 via param_dtype): the TPU form
+    # of the reference's model.cast(dtype) (`lib/core/segmentation.py:50`)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=name)
+                                epsilon=1e-5, dtype=self.dtype, name=name)
 
         residual = x
-        out = nn.Conv(self.planes, (1, 1), use_bias=False, name="conv1")(x)
+        out = nn.Conv(self.planes, (1, 1), use_bias=False, dtype=self.dtype,
+                      name="conv1")(x)
         out = bn("bn1")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes, (3, 3), strides=self.strides,
                       padding=self.dilation, kernel_dilation=self.dilation,
-                      use_bias=False, name="conv2")(out)
+                      use_bias=False, dtype=self.dtype, name="conv2")(out)
         out = bn("bn2")(out)
         out = nn.relu(out)
         out = nn.Conv(self.planes * self.expansion, (1, 1), use_bias=False,
-                      name="conv3")(out)
+                      dtype=self.dtype, name="conv3")(out)
         out = bn("bn3")(out)
         if self.downsample:
             residual = nn.Conv(self.planes * self.expansion, (1, 1),
                                strides=self.strides, use_bias=False,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             residual = bn("downsample_bn")(residual)
         return nn.relu(out + residual)
 
@@ -58,6 +62,7 @@ class ResNetV1s(nn.Module):
     layers: Sequence[int] = (3, 4, 6, 3)
     stem_width: int = 64
     dilated: bool = True
+    dtype: Any = jnp.float32
 
     def _stage(self, x, idx, planes, blocks, strides, dilation, train):
         in_ch = x.shape[-1]
@@ -65,10 +70,10 @@ class ResNetV1s(nn.Module):
         # gluoncv first-block dilation rule: dilation 4 stages start at 2
         first_dilation = dilation if dilation in (1, 2) else dilation // 2
         x = BottleneckV1b(planes, strides, 1 if dilation <= 2 else first_dilation,
-                          downsample=need_ds,
+                          downsample=need_ds, dtype=self.dtype,
                           name=f"layer{idx}_block0")(x, train)
         for b in range(1, blocks):
-            x = BottleneckV1b(planes, 1, dilation,
+            x = BottleneckV1b(planes, 1, dilation, dtype=self.dtype,
                               name=f"layer{idx}_block{b}")(x, train)
         return x
 
@@ -76,17 +81,18 @@ class ResNetV1s(nn.Module):
     def __call__(self, x, train: bool = False):
         def bn(name):
             return nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                                epsilon=1e-5, name=name)
+                                epsilon=1e-5, dtype=self.dtype, name=name)
 
         sw = self.stem_width
         # deep stem: 3x(conv3x3) 3->64->64->128, stride 2 on the first
         x = nn.Conv(sw, (3, 3), strides=2, padding=1, use_bias=False,
-                    name="stem_conv0")(x)
+                    dtype=self.dtype, name="stem_conv0")(x)
         x = nn.relu(bn("stem_bn0")(x))
-        x = nn.Conv(sw, (3, 3), padding=1, use_bias=False, name="stem_conv1")(x)
+        x = nn.Conv(sw, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                    name="stem_conv1")(x)
         x = nn.relu(bn("stem_bn1")(x))
         x = nn.Conv(sw * 2, (3, 3), padding=1, use_bias=False,
-                    name="stem_conv2")(x)
+                    dtype=self.dtype, name="stem_conv2")(x)
         x = nn.relu(bn("stem_bn2")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 

@@ -45,6 +45,22 @@ class TrainState:
     step: jnp.ndarray
 
 
+def _resolve_dtype(dtype) -> jnp.dtype:
+    """Map the reference ``--dtype`` flag (`cmd_args.py`) to a compute dtype.
+
+    'float16' maps to bfloat16: the TPU half-precision with f32 exponent
+    range, so the reference's fp16 loss-scaling machinery
+    (``multi_precision``, `lib/core/segmentation.py:64-65`) is unnecessary.
+    """
+    if dtype is None or isinstance(dtype, str) and dtype in ("float32", "f32"):
+        return jnp.float32
+    if isinstance(dtype, str):
+        if dtype in ("float16", "fp16", "bfloat16", "bf16"):
+            return jnp.bfloat16
+        return jnp.dtype(dtype).type
+    return dtype
+
+
 def poly_schedule(base_lr: float, total_iters: int, power: float = 0.9):
     """gluoncv ``LRScheduler(mode='poly')``: lr = base * (1 - i/N)^power."""
 
@@ -77,7 +93,13 @@ def make_optimizer(params, base_lr: float, total_iters: int, wd: float,
 def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                drop_last: bool = True, prefetch: int = 2):
     """Simple batcher with a background prefetch thread (host-side decode
-    overlaps device compute)."""
+    overlaps device compute).
+
+    Items whose first element is an (image, depth) tuple — the reference's
+    with_depth batchify ``Tuple(Tuple(Stack(), Stack()), Stack())``
+    (`lib/core/segmentation.py:32-35`) — are stacked component-wise. The
+    worker thread is stopped (not abandoned) if the consumer exits early.
+    """
     import queue
     import threading
 
@@ -88,24 +110,42 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
     steps = n // batch_size if drop_last else math.ceil(n / batch_size)
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = threading.Event()
+
+    def stack_first(items):
+        if isinstance(items[0][0], tuple):
+            k = len(items[0][0])
+            return tuple(np.stack([it[0][j] for it in items])
+                         for j in range(k))
+        return np.stack([it[0] for it in items])
 
     def worker():
         for s in range(steps):
             sel = order[s * batch_size:(s + 1) * batch_size]
             items = [dataset[int(i)] for i in sel]
-            imgs = np.stack([it[0] for it in items])
+            imgs = stack_first(items)
             masks = np.stack([it[1] for it in items])
             extra = [it[2] for it in items] if len(items[0]) > 2 else None
-            q.put((imgs, masks, extra))
+            while not stop.is_set():
+                try:
+                    q.put((imgs, masks, extra), timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
+            if stop.is_set():
+                return
         q.put(None)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class SegmentationTrainer:
@@ -113,7 +153,6 @@ class SegmentationTrainer:
                  optimizer_params: dict, with_depth: bool = False,
                  image_dump_interval: int = 200,
                  criterion: Callable = seg_loss_with_aux, mesh=None):
-        assert not with_depth, "depth inputs are not wired for the hair exps"
         self.args = args
         self.model = model
         self.model_cfg = model_cfg
@@ -123,6 +162,20 @@ class SegmentationTrainer:
         self.image_dump_interval = image_dump_interval
         self.mesh = mesh or make_mesh()
         self.aux_weight = model_cfg.get("aux_weight", 0.5)
+        self.with_depth = with_depth
+        # mixed precision (`lib/core/segmentation.py:50,64-65`: model.cast
+        # (args.dtype) + multi_precision): params and BN statistics stay f32
+        # masters, compute runs in the requested dtype. 'float16' maps to
+        # bfloat16 — the TPU-native half precision (same exponent range as
+        # f32, so no loss-scaling is needed where mxnet needed
+        # multi_precision).
+        self.compute_dtype = _resolve_dtype(getattr(args, "dtype", "float32"))
+        if (self.compute_dtype != jnp.float32
+                and hasattr(model, "dtype")):
+            model = model.clone(dtype=self.compute_dtype)
+            self.model = model
+            logger.info("compute dtype: %s (f32 master params + BN stats)",
+                        jnp.dtype(self.compute_dtype).name)
 
         self.batch_size = args.batch_size
         self.iters_per_epoch = len(trainset) // self.batch_size
@@ -131,10 +184,15 @@ class SegmentationTrainer:
         self.total_iters = total_iters
 
         # init model (jit: required on the remote TPU backend)
-        dummy = jnp.zeros((1, model_cfg["crop_size"], model_cfg["crop_size"], 3),
-                          jnp.float32)
-        variables = jax.jit(
-            lambda x: model.init(jax.random.PRNGKey(0), x, False))(dummy)
+        crop = model_cfg["crop_size"]
+        dummy = jnp.zeros((1, crop, crop, 3), jnp.float32)
+        if with_depth:
+            ddepth = jnp.zeros((1, crop, crop, 1), jnp.float32)
+            variables = jax.jit(lambda x, d: model.init(
+                jax.random.PRNGKey(0), x, False, depth=d))(dummy, ddepth)
+        else:
+            variables = jax.jit(
+                lambda x: model.init(jax.random.PRNGKey(0), x, False))(dummy)
         params, batch_stats = variables["params"], variables.get("batch_stats", {})
 
         if getattr(args, "backbone_weights", None):
@@ -176,13 +234,21 @@ class SegmentationTrainer:
     def _build_train_step(self):
         model, criterion, tx = self.model, self.criterion, self.tx
         aux_weight = self.aux_weight
+        cdt = self.compute_dtype
 
-        def train_step(state: TrainState, images, masks, rng):
+        def train_step(state: TrainState, images, masks, rng, depth=None):
             def loss_fn(p):
+                # Mixed precision rides the model's flax ``dtype`` attribute:
+                # params and BN statistics stay f32 (param_dtype), every
+                # conv/BN computes in compute_dtype, and the loss is taken in
+                # f32. Grads come out f32 — the master-weights update needs
+                # no loss scaling on TPU (bf16 keeps the f32 exponent range).
+                kwargs = {} if depth is None else {"depth": depth}
                 outputs, upd = model.apply(
                     {"params": p, "batch_stats": state.batch_stats},
-                    images, True, rngs={"dropout": rng},
-                    mutable=["batch_stats"])
+                    images.astype(cdt), True, rngs={"dropout": rng},
+                    mutable=["batch_stats"], **kwargs)
+                outputs = [o.astype(jnp.float32) for o in outputs]
                 loss_vec = criterion(outputs[0], outputs[1], masks,
                                      aux_weight=aux_weight)
                 return jnp.mean(loss_vec), (outputs[0], upd["batch_stats"])
@@ -198,13 +264,15 @@ class SegmentationTrainer:
     def _get_eval_fn(self):
         if self._eval_fn is None:
             model = self.model
+            cdt = self.compute_dtype
 
             @jax.jit
-            def eval_fn(params, batch_stats, images):
+            def eval_fn(params, batch_stats, images, depth=None):
+                kwargs = {} if depth is None else {"depth": depth}
                 outputs = model.apply(
                     {"params": params, "batch_stats": batch_stats},
-                    images, False)
-                return outputs[0]
+                    images.astype(cdt), False, **kwargs)
+                return outputs[0].astype(jnp.float32)
 
             self._eval_fn = eval_fn
         return self._eval_fn
@@ -213,47 +281,76 @@ class SegmentationTrainer:
         return float(poly_schedule(self.base_lr, self.total_iters)(step))
 
     # --------------------------------------------------------------- training
-    def training(self, epoch: int):
+    def training(self, epoch: int, log_interval: int = 25):
         if self.sw is None:
             self.sw = _make_summary_writer(self.args)
         self.metric.reset()
-        train_loss = 0.0
         tic = time.time()
+
+        # Loss bookkeeping without per-step syncs: every step's device
+        # scalar is kept (dispatch stays async); at log boundaries the
+        # pending block is pulled in ONE D2H transfer and the per-step TB
+        # scalars are written retrospectively with their true global_step.
+        # The logged epoch loss is therefore the exact mean of batch losses
+        # (`lib/core/segmentation.py:116-117,139-141` semantics) while the
+        # ~26ms-roundtrip sync happens once per log_interval, not per step.
+        pending = []          # device scalars not yet pulled
+        train_loss = 0.0      # sum of pulled batch losses
+        n_pulled = 0
+        last_step = -1
+
+        def drain(upto_global_step):
+            nonlocal train_loss, n_pulled
+            if not pending:
+                return
+            vals = np.asarray(jnp.stack(pending))  # single D2H transfer
+            pending.clear()
+            for k, v in enumerate(vals):
+                step = upto_global_step - (len(vals) - 1 - k)
+                train_loss += float(v)
+                n_pulled += 1
+                if self.sw is not None:
+                    self.sw.add_scalars(
+                        "Loss/ce",
+                        {"batch": float(v),
+                         "epoch_avg": train_loss / n_pulled}, step)
+                    self.sw.add_scalar("learning_rate",
+                                       self.current_lr(step), step)
+
         for i, (imgs, masks, _) in enumerate(batch_iter(
                 self.trainset, self.batch_size, shuffle=True,
                 seed=epoch)):
             global_step = self.iters_per_epoch * epoch + i
+            last_step = global_step
             self._rng, rng = jax.random.split(self._rng)
+            if self.with_depth:
+                imgs, depth = imgs
+                depth_s = shard_batch(self.mesh, depth.astype(np.float32))
+            else:
+                depth_s = None
             imgs_s = shard_batch(self.mesh, imgs.astype(np.float32))
             masks_s = shard_batch(self.mesh, masks.astype(np.int32))
-            self.state, loss, pred = self._train_step(self.state, imgs_s,
-                                                      masks_s, rng)
-            # pulling the loss is a ~26ms synchronous roundtrip on the
-            # remote backend (12% of a 480^2 step) — only sync when someone
-            # consumes it (TB writer per step, progress log every 25)
-            if self.sw is not None or i % 25 == 0:
-                batch_loss = float(loss)
+            if depth_s is None:
+                self.state, loss, pred = self._train_step(
+                    self.state, imgs_s, masks_s, rng)
             else:
-                batch_loss = train_loss / max(i, 1)
-            train_loss += batch_loss
+                self.state, loss, pred = self._train_step(
+                    self.state, imgs_s, masks_s, rng, depth_s)
+            pending.append(loss)
 
             if (self.sw is not None and self.image_dump_interval > 0
                     and global_step % self.image_dump_interval == 0):
                 self._dump_images(imgs, masks, np.asarray(pred), global_step)
-            if self.sw is not None:
-                self.sw.add_scalars("Loss/ce",
-                                    {"batch": batch_loss,
-                                     "epoch_avg": train_loss / (i + 1)},
-                                    global_step)
-                self.sw.add_scalar("learning_rate",
-                                   self.current_lr(global_step), global_step)
-            if i % 25 == 0:
+            if i % log_interval == log_interval - 1 or i == 0:
+                drain(global_step)
                 logger.info("Epoch %d iter %d/%d training loss %.3f",
                             epoch, i, self.iters_per_epoch,
-                            train_loss / (i + 1))
+                            train_loss / max(1, n_pulled))
+        drain(last_step)
         logger.info("Epoch %d done in %.1fs, training loss %.3f", epoch,
-                    time.time() - tic, train_loss / max(1, self.iters_per_epoch))
+                    time.time() - tic, train_loss / max(1, n_pulled))
         self.save_checkpoint()
+        return train_loss / max(1, n_pulled)
 
     def _dump_images(self, imgs, masks, pred, global_step):
         image = imagenet_denormalize(imgs[0]).astype(np.uint8)
@@ -271,8 +368,15 @@ class SegmentationTrainer:
         eval_fn = self._get_eval_fn()
         for imgs, masks, _ in batch_iter(self.valset, self.args.test_batch_size,
                                          shuffle=False, drop_last=False):
-            pred = eval_fn(self.state.params, self.state.batch_stats,
-                           jnp.asarray(imgs, jnp.float32))
+            if self.with_depth:
+                # (image, depth) tuple inputs (`lib/core/segmentation.py:165-168`)
+                imgs, depth = imgs
+                pred = eval_fn(self.state.params, self.state.batch_stats,
+                               jnp.asarray(imgs, jnp.float32),
+                               jnp.asarray(depth, jnp.float32))
+            else:
+                pred = eval_fn(self.state.params, self.state.batch_stats,
+                               jnp.asarray(imgs, jnp.float32))
             self.metric.update([masks], [np.asarray(pred)])
         names, values = self.metric.get()
         result = ", ".join(f"{n}: {v:4f}" for n, v in zip(names, values))
@@ -340,7 +444,7 @@ class MultiEvalModel:
     def __init__(self, model, params, batch_stats, nclass: int,
                  base_size: int = 520, crop_size: int = 480,
                  flip: bool = True, scales: Sequence[float] = (1.0,),
-                 prob_avg: bool = False):
+                 prob_avg: bool = False, pad_values=None):
         self.model = model
         self.params = params
         self.batch_stats = batch_stats
@@ -350,6 +454,7 @@ class MultiEvalModel:
         self.flip = flip
         self.scales = tuple(scales)
         self.prob_avg = prob_avg
+        self.pad_values = pad_values  # None -> gluoncv -mean/std (ImageNet)
 
         @jax.jit
         def crop_forward(params, batch_stats, x):
@@ -389,12 +494,12 @@ class MultiEvalModel:
             cur = np.asarray(bilinear_resize(
                 jnp.asarray(image)[None], height, width)[0])
             if long_size <= crop:
-                pad = _pad_image(cur, crop)
+                pad = _pad_image(cur, crop, self.pad_values)
                 out = self._flip_inference(jnp.asarray(pad)[None])
                 out = np.asarray(out)[0, :height, :width]
             else:
                 ph, pw = max(height, crop), max(width, crop)
-                pad = _pad_image(cur, crop)
+                pad = _pad_image(cur, crop, self.pad_values)
                 stride = int(math.ceil(crop * 2.0 / 3.0))
                 h_grids = int(math.ceil(1.0 * (ph - crop) / stride)) + 1
                 w_grids = int(math.ceil(1.0 * (pw - crop) / stride)) + 1
@@ -418,12 +523,27 @@ class MultiEvalModel:
         return [self(np.asarray(im)) for im in images]
 
 
-def _pad_image(img: np.ndarray, crop_size: int) -> np.ndarray:
-    h, w = img.shape[:2]
+def _pad_image(img: np.ndarray, crop_size: int,
+               pad_values: Optional[np.ndarray] = None) -> np.ndarray:
+    """Bottom/right-pad a normalized image to ``crop_size``.
+
+    gluoncv's ``segbase._pad_image`` fills each channel with ``-mean/std`` —
+    i.e. the padding equals BLACK before normalization, not the ImageNet-mean
+    pixel that zero-padding a normalized image would produce. Channels beyond
+    the pad_values table (e.g. a with_depth plane) pad with 0.
+    """
+    h, w, c = img.shape
     ph, pw = max(0, crop_size - h), max(0, crop_size - w)
     if ph == 0 and pw == 0:
         return img
-    return np.pad(img, ((0, ph), (0, pw), (0, 0)))
+    if pad_values is None:
+        from ..data.segmentation import IMAGENET_MEAN, IMAGENET_STD
+        pad_values = -IMAGENET_MEAN / IMAGENET_STD
+    fill = np.zeros((c,), np.float32)
+    fill[:len(pad_values)] = np.asarray(pad_values, np.float32)[:c]
+    out = np.broadcast_to(fill, (h + ph, w + pw, c)).copy()
+    out[:h, :w] = img
+    return out
 
 
 class SegmentationTester:
@@ -435,6 +555,11 @@ class SegmentationTester:
                  threshold: float = 0.5, base_size: int = 512,
                  crop_size: int = 480):
         self.args = args
+        # reference: model.cast(args.dtype) at tester init too
+        # (`lib/core/segmentation.py:199-200`)
+        cdt = _resolve_dtype(getattr(args, "dtype", "float32"))
+        if cdt != jnp.float32 and hasattr(model, "dtype"):
+            model = model.clone(dtype=cdt)
         if class_names is None:
             class_names = [f"cls-{i}" for i in range(num_classes)]
         self.metric_orig = SegmentationMetric(num_classes, skip_bg=skip_bg,

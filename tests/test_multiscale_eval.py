@@ -66,7 +66,15 @@ def test_prob_avg_changes_combination():
 
 
 def test_pad_image():
+    # gluoncv segbase._pad_image semantics: padding is -mean/std per channel
+    # (black pre-normalization), NOT zero (zero = ImageNet-mean pixel)
+    from gan_segmentation_tpu.data.segmentation import (
+        IMAGENET_MEAN, IMAGENET_STD)
+
     img = np.ones((10, 20, 3), np.float32)
     out = _pad_image(img, 16)
     assert out.shape == (16, 20, 3)
-    assert out[10:].sum() == 0
+    np.testing.assert_allclose(out[10:],
+                               np.broadcast_to(-IMAGENET_MEAN / IMAGENET_STD,
+                                               (6, 20, 3)), rtol=1e-6)
+    np.testing.assert_array_equal(out[:10], img)
