@@ -37,7 +37,16 @@ def convert_resnet_v1s_params(mx: Dict[str, np.ndarray],
                               layers: Sequence[int] = (3, 4, 6, 3),
                               prefix: str = "resnetv1s_",
                               strict: bool = True) -> Tuple[Dict, Dict]:
-    """-> (params, batch_stats) for `models/resnet.py::ResNetV1s`."""
+    """-> (params, batch_stats) for `models/resnet.py::ResNetV1s`.
+
+    Handles both checkpoint naming schemes, dispatched on ``any('.' in
+    name)`` like mxnet's ``Block.load_parameters``: attribute-path (dotted)
+    names from ``save_parameters`` — ``conv1.{0,3,6}.weight``,
+    ``layer{i}.{b}.conv{c}.weight``, ``layer{i}.0.downsample.{0,1}.*`` —
+    or the legacy name_scope parameter names documented above.
+    """
+    if any("." in k for k in mx):
+        return _convert_resnet_v1s_dotted(mx, layers, strict)
     params: Dict = {}
     batch_stats: Dict = {}
     missing = []
@@ -81,6 +90,60 @@ def convert_resnet_v1s_params(mx: Dict[str, np.ndarray],
             f"{missing[:5]} — inspect the file with tools/inspect_checkpoint.py "
             "and adjust the name map")
 
+    return _nest(params), _nest(batch_stats)
+
+
+def _convert_resnet_v1s_dotted(mx: Dict[str, np.ndarray],
+                               layers: Sequence[int] = (3, 4, 6, 3),
+                               strict: bool = True) -> Tuple[Dict, Dict]:
+    """Attribute-path names (gluoncv ``resnetv1b`` structure: deep stem
+    ``conv1`` = Sequential[conv,bn,relu,conv,bn,relu,conv] + separate
+    ``bn1``; bottlenecks attrs conv1/bn1/conv2/bn2/conv3/bn3/downsample).
+    The classifier (``fc.*``) is skipped."""
+    params: Dict = {}
+    batch_stats: Dict = {}
+    missing = []
+
+    def take(name):
+        if name in mx:
+            return mx[name]
+        missing.append(name)
+        return None
+
+    def put_conv(our, src):
+        arr = take(f"{src}.weight")
+        if arr is not None:
+            params.setdefault(our, {})["kernel"] = _conv_w(arr)
+
+    def put_bn(our, src):
+        for suffix, (kind, field) in _BN_MAP.items():
+            arr = take(f"{src}.{suffix}")
+            if arr is None:
+                continue
+            dst = params if kind == "params" else batch_stats
+            dst.setdefault(our, {})[field] = np.asarray(arr, np.float32)
+
+    for k, idx in enumerate((0, 3, 6)):
+        put_conv(f"stem_conv{k}", f"conv1.{idx}")
+    put_bn("stem_bn0", "conv1.1")
+    put_bn("stem_bn1", "conv1.4")
+    put_bn("stem_bn2", "bn1")
+
+    for i, depth in enumerate(layers, start=1):
+        for b in range(depth):
+            blk = f"layer{i}_block{b}"
+            for c in (1, 2, 3):
+                put_conv(f"{blk}.conv{c}", f"layer{i}.{b}.conv{c}")
+                put_bn(f"{blk}.bn{c}", f"layer{i}.{b}.bn{c}")
+        put_conv(f"layer{i}_block0.downsample_conv",
+                 f"layer{i}.0.downsample.0")
+        put_bn(f"layer{i}_block0.downsample_bn", f"layer{i}.0.downsample.1")
+
+    if strict and missing:
+        raise KeyError(
+            f"{len(missing)} expected gluoncv parameters not found, e.g. "
+            f"{missing[:5]} — inspect the file with tools/inspect_checkpoint.py "
+            "and adjust the name map")
     return _nest(params), _nest(batch_stats)
 
 

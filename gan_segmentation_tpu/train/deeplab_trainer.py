@@ -406,6 +406,28 @@ def save_checkpoint_file(path: str, params, batch_stats):
 
 
 def load_checkpoint(path: str, params_template, bs_template):
+    from ..core.mx_params import is_mx_params_file, load_mx_ndarray_file
+
+    if is_mx_params_file(path):
+        # a reference-trained mxnet run (`lib/utils/utils.py:5-16` format):
+        # convert on load, like SegSolver.load does for decoder files
+        from ..core.deeplab_convert import (
+            convert_deeplabv3plus_params, is_deeplab_reference_file)
+        mx = load_mx_ndarray_file(path)
+        if not is_deeplab_reference_file(mx):
+            raise ValueError(
+                f"{path} is an mxnet NDArray file but not a reference "
+                "DeepLabV3+ checkpoint; convert it explicitly")
+        logger.info("converting reference mxnet DeepLabV3+ checkpoint %s",
+                    path)
+        p, bs = convert_deeplabv3plus_params(mx)
+        restored = {"params": p, "batch_stats": bs}
+        template = {"params": jax.device_get(params_template),
+                    "batch_stats": jax.device_get(bs_template)}
+        restored = serialization.from_state_dict(template, restored)
+        return (jax.tree_util.tree_map(jnp.asarray, restored["params"]),
+                jax.tree_util.tree_map(jnp.asarray, restored["batch_stats"]))
+
     with open(path, "rb") as fp:
         restored = serialization.msgpack_restore(fp.read())
     template = {"params": jax.device_get(params_template),

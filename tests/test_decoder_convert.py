@@ -73,3 +73,61 @@ def test_strict_reports_missing():
     del named["conv4_weight"]
     with pytest.raises(KeyError, match="conv4"):
         convert_decoder_params(named, cfg, strict=True)
+
+
+def synth_reference_decoder_dotted(cfg, seed=0):
+    """Fabricate the attribute-path names that the reference's
+    ``SegSolver.save`` actually writes (`seg_solver.py:331-337`; mxnet 1.5
+    ``save_parameters`` = ``_collect_params_with_prefix``)."""
+    rs = np.random.RandomState(seed)
+    p = {}
+
+    def conv(base, cout, cin, k):
+        p[f"{base}.weight"] = rs.randn(cout, cin, k, k).astype(np.float32) * 0.1
+        p[f"{base}.bias"] = rs.randn(cout).astype(np.float32) * 0.01
+
+    def bn(base, c):
+        p[f"{base}.gamma"] = np.ones(c, np.float32)
+        p[f"{base}.beta"] = np.zeros(c, np.float32)
+        p[f"{base}.running_mean"] = rs.randn(c).astype(np.float32) * 0.01
+        p[f"{base}.running_var"] = np.ones(c, np.float32)
+
+    n = len(cfg.in_channels)
+    for i in range(cfg.start_res, n):
+        conv(f"cvt_block_{i}.0", cfg.features[i], cfg.in_channels[i], 3)
+        bn(f"cvt_block_{i}.1", cfg.features[i])
+    for i in range(cfg.start_res, n - 1):
+        in_c = cfg.features[i] if i == cfg.start_res else 2 * cfg.features[i]
+        base = f"main_block_{i}.1"
+        conv(f"{base}.base_layers.0", cfg.features[i + 1], in_c, 3)
+        bn(f"{base}.base_layers.1", cfg.features[i + 1])
+        conv(f"{base}.base_layers.3", cfg.features[i + 1],
+             cfg.features[i + 1], 3)
+        bn(f"{base}.base_layers.4", cfg.features[i + 1])
+        if cfg.features[i + 1] != in_c:
+            conv(f"{base}.shortcut.0", cfg.features[i + 1], in_c, 1)
+    conv(f"main_block_{n - 1}.0", cfg.features[n], 2 * cfg.features[n - 1], 3)
+    return p
+
+
+def test_dotted_save_parameters_format():
+    """save_parameters (dotted) files — the reference's real on-disk format
+    — convert to the identical tree as legacy-named files."""
+    cfg = SolverConfig(max_res_log2=6)
+    named = synth_reference_decoder_dotted(cfg)
+    params, batch_stats = convert_decoder_params(named, cfg, strict=True)
+
+    dec = decoder_from_config(cfg)
+    feats = [jnp.zeros((1, 2 ** (i + 2), 2 ** (i + 2), c), jnp.float32)
+             for i, c in enumerate(cfg.in_channels)]
+    ref = jax.jit(lambda f: dec.init(jax.random.PRNGKey(0), f, False))(feats)
+    shapes = lambda t: jax.tree_util.tree_map(lambda a: tuple(np.shape(a)), t)
+    assert shapes(params) == shapes(jax.device_get(ref["params"]))
+    assert shapes(batch_stats) == shapes(jax.device_get(ref["batch_stats"]))
+    # values land where they came from
+    np.testing.assert_array_equal(
+        params["cvt_4_conv"]["kernel"],
+        np.transpose(named["cvt_block_4.0.weight"], (2, 3, 1, 0)))
+    logits = jax.jit(lambda v, f: dec.apply(v, f, False))(
+        {"params": params, "batch_stats": batch_stats}, feats)
+    assert logits.shape == (1, 64, 64, 2)
