@@ -27,7 +27,8 @@ from gan_segmentation_tpu.models.decoder import decoder_from_config
 from gan_segmentation_tpu.models.stylegan import StyleGanGenerator, init_generator
 
 
-def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0):
+def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
+                s2d: bool = True):
     gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
     scfg = SolverConfig(max_res_log2=max_res_log2)
@@ -36,12 +37,22 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0):
              for i, c in enumerate(scfg.in_channels)]
     dvars = jax.jit(lambda f: dec.init(jax.random.PRNGKey(seed + 3), f, False))(feats)
 
+    from gan_segmentation_tpu.ops.s2d_decoder import (
+        class_mask_s2d, decoder_apply_s2d)
     from gan_segmentation_tpu.train.generator import class_mask
 
     def fused(gp, dp, dbs, z, rng):
         rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
-        logits = dec.apply({"params": dp, "batch_stats": dbs}, feats, False)
-        mask = class_mask(logits)
+        if s2d:
+            # space-to-depth tail: the narrow high-res convs run in block
+            # layout at full MXU lane utilization (ops/s2d_decoder.py)
+            logits = decoder_apply_s2d(
+                dec, {"params": dp, "batch_stats": dbs}, feats)
+            mask = class_mask_s2d(logits, scfg.num_classes)
+        else:
+            logits = dec.apply({"params": dp, "batch_stats": dbs}, feats,
+                               False)
+            mask = class_mask(logits)
         img = jnp.clip((rgb.astype(jnp.float32) + 1) * 127.5, 0, 255).astype(jnp.uint8)
         return img, mask
 

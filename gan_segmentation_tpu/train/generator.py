@@ -122,7 +122,7 @@ class FusedPipeline:
     """z -> (image uint8, mask uint8) in one jit program (SURVEY §3.2)."""
 
     def __init__(self, image_generator: ImageGenerator, solver,
-                 inference_dtype=jnp.bfloat16):
+                 inference_dtype=jnp.bfloat16, s2d: bool = True):
         self.gen = image_generator
         self.solver = solver
         gen_model = image_generator.model
@@ -130,14 +130,23 @@ class FusedPipeline:
         # are f32 inside flax; activations at 1024^2 halve their HBM traffic
         dec_model = (solver.model.clone(compute_dtype=inference_dtype)
                      if inference_dtype is not None else solver.model)
+        nclass = int(dec_model.features_cfg[-1])
+        use_s2d = s2d and len(dec_model.in_channels) - dec_model.start_res >= 2
 
         def fused(gen_params, dec_params, dec_batch_stats, z, noise_rng):
             rgb, feats = gen_model.apply({"params": gen_params}, z,
                                          rngs={"noise": noise_rng})
-            logits = dec_model.apply(
-                {"params": dec_params, "batch_stats": dec_batch_stats},
-                feats, False)
-            mask = class_mask(logits)
+            variables = {"params": dec_params,
+                         "batch_stats": dec_batch_stats}
+            if use_s2d:
+                # narrow high-res convs run in space-to-depth block layout
+                # (ops/s2d_decoder.py) — numerically equivalent, full lanes
+                from ..ops.s2d_decoder import class_mask_s2d, decoder_apply_s2d
+                logits = decoder_apply_s2d(dec_model, variables, feats)
+                mask = class_mask_s2d(logits, nclass)
+            else:
+                logits = dec_model.apply(variables, feats, False)
+                mask = class_mask(logits)
             return _to_uint8(rgb, image_generator.cfg.imrange), mask
 
         self._fused = jax.jit(fused)

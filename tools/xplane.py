@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Minimal XSpace (xplane.pb) reader: per-op device-time aggregation.
+
+`jax.profiler.trace` works on the axon backend and writes
+``plugins/profile/<ts>/*.xplane.pb``, but no xplane proto is installed in
+this image. This is a dependency-free protobuf wire-format decoder for the
+subset of tensorflow/core/profiler/protobuf/xplane.proto we need:
+
+  XSpace.planes[]           field 1
+  XPlane.name               field 2
+  XPlane.lines[]            field 3
+  XPlane.event_metadata{}   field 4 (map<int64, XEventMetadata>)
+  XLine.name                field 2, XLine.events[] field 4
+  XEvent.metadata_id        field 1, XEvent.duration_ps field 3
+  XEventMetadata.id/name    fields 1/2 (display_name field 4)
+
+Usage:
+  python tools/xplane.py <trace_dir_or_pb> [--top N] [--plane SUBSTR]
+
+Aggregates total duration per event name on planes whose name matches
+--plane (default: 'TPU', falling back to the busiest plane).
+"""
+
+import struct
+import sys
+from collections import defaultdict
+
+
+def _read_varint(buf, pos):
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def fields(buf):
+    """Yield (field_number, wire_type, value) for one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 1:
+            val = struct.unpack_from("<q", buf, pos)[0]
+            pos += 8
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos:pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = struct.unpack_from("<i", buf, pos)[0]
+            pos += 4
+        else:
+            raise ValueError(f"wire type {wt}")
+        yield fnum, wt, val
+
+
+def parse_plane(buf):
+    name = ""
+    lines = []
+    meta = {}
+    for fnum, _, val in fields(buf):
+        if fnum == 2:
+            name = val.decode("utf-8", "replace")
+        elif fnum == 3:
+            lines.append(val)
+        elif fnum == 4:  # map entry {1: key, 2: XEventMetadata}
+            mid, mname = None, ""
+            for f2, _, v2 in fields(val):
+                if f2 == 1:
+                    mid = v2
+                elif f2 == 2:
+                    for f3, _, v3 in fields(v2):
+                        if f3 == 2 and not mname:
+                            mname = v3.decode("utf-8", "replace")
+                        elif f3 == 4 and v3:
+                            mname = v3.decode("utf-8", "replace")
+            if mid is not None:
+                meta[mid] = mname
+    return name, lines, meta
+
+
+def plane_op_times(plane_buf):
+    """-> (plane_name, {op_name: (total_ps, count)})."""
+    name, lines, meta = parse_plane(plane_buf)
+    agg = defaultdict(lambda: [0, 0])
+    for line_buf in lines:
+        for fnum, _, val in fields(line_buf):
+            if fnum != 4:
+                continue
+            mid = dur = 0
+            for f2, wt2, v2 in fields(val):
+                if f2 == 1:
+                    mid = v2
+                elif f2 == 3:
+                    dur = v2
+            op = meta.get(mid, f"<id {mid}>")
+            agg[op][0] += dur
+            agg[op][1] += 1
+    return name, {k: tuple(v) for k, v in agg.items()}
+
+
+def load_xspace_planes(path):
+    buf = open(path, "rb").read()
+    return [val for fnum, _, val in fields(buf) if fnum == 1]
+
+
+def main():
+    import argparse
+    import glob
+    from os.path import isdir, join
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("path")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--plane", default="TPU")
+    args = ap.parse_args()
+
+    path = args.path
+    if isdir(path):
+        cands = sorted(glob.glob(join(path, "**", "*.xplane.pb"),
+                                 recursive=True))
+        assert cands, f"no *.xplane.pb under {path}"
+        path = cands[-1]
+    print(f"# {path}")
+
+    best = None
+    for plane_buf in load_xspace_planes(path):
+        name, ops = plane_op_times(plane_buf)
+        total = sum(t for t, _ in ops.values())
+        if args.plane.lower() in name.lower() and total:
+            best = (name, ops, total)
+            break
+        if total and (best is None or total > best[2]):
+            best = (name, ops, total)
+    assert best, "no events found"
+    name, ops, total = best
+    print(f"# plane: {name}   total {total / 1e9:.3f} ms")
+    rows = sorted(ops.items(), key=lambda kv: -kv[1][0])[:args.top]
+    for op, (ps, cnt) in rows:
+        print(f"{ps / 1e9:9.3f} ms  x{cnt:<5d} {100 * ps / total:5.1f}%  {op}")
+
+
+if __name__ == "__main__":
+    main()
