@@ -18,11 +18,27 @@ def test_s2d_roundtrip():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)
     s = space_to_depth(x)
     assert s.shape == (2, 4, 4, 12)
-    # parity-major layout: channel (a*2+b)*C + c == fine pixel (2i+a, 2j+b)
-    np.testing.assert_array_equal(np.asarray(s[0, 1, 2, 3 * 3 + 1]),
+    # channel-major layout: channel c*4 + (a*2+b) == fine pixel (2i+a, 2j+b)
+    np.testing.assert_array_equal(np.asarray(s[0, 1, 2, 1 * 4 + 3]),
                                   np.asarray(x[0, 2 * 1 + 1, 2 * 2 + 1, 1]))
     np.testing.assert_array_equal(np.asarray(depth_to_space(s)),
                                   np.asarray(x))
+
+
+@pytest.mark.parametrize("h", [8, 14])
+def test_strided_parity_kernel_exact(h):
+    """The stride-2 4x4 kernel == fine 3x3 conv followed by s2d."""
+    from gan_segmentation_tpu.ops.conv import conv2d
+    from gan_segmentation_tpu.ops.s2d_decoder import strided_parity_kernel
+
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(2, h, h, 3), jnp.float32)
+    w = jnp.asarray(rs.randn(3, 3, 3, 5), jnp.float32)
+    fine = conv2d(x, w, padding=1)
+    blk = conv2d(x, strided_parity_kernel(w), stride=2, padding=1)
+    np.testing.assert_allclose(np.asarray(blk),
+                               np.asarray(space_to_depth(fine)),
+                               rtol=1e-5, atol=1e-5)
 
 
 @pytest.mark.parametrize("pad_edge", [False, True])
