@@ -28,7 +28,15 @@ from gan_segmentation_tpu.models.stylegan import StyleGanGenerator, init_generat
 
 
 def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
-                s2d: bool = True):
+                s2d: bool = True, n_block_stages: int = 3):
+    """Returns ``(fused, gen_params, dec_prepared)`` with
+    ``fused(gen_params, dec_prepared, z, rng) -> (uint8 img, uint8 mask)``.
+
+    ``dec_prepared`` is the one-time-folded decoder tree
+    (`ops/s2d_decoder.prepare_s2d`) when ``s2d`` else the raw variables —
+    either way it is a pytree argument, so the per-step program contains no
+    parameter folding.
+    """
     gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
     scfg = SolverConfig(max_res_log2=max_res_log2)
@@ -38,45 +46,50 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     dvars = jax.jit(lambda f: dec.init(jax.random.PRNGKey(seed + 3), f, False))(feats)
 
     from gan_segmentation_tpu.ops.s2d_decoder import (
-        class_mask_s2d, decoder_apply_s2d)
+        apply_s2d_prepared, class_mask_s2d, prepare_s2d)
     from gan_segmentation_tpu.train.generator import class_mask
 
-    def fused(gp, dp, dbs, z, rng):
+    if s2d:
+        dprep = jax.jit(
+            lambda v: prepare_s2d(dec, v, n_block_stages))(dvars)
+    else:
+        dprep = {"params": dvars["params"],
+                 "batch_stats": dvars.get("batch_stats", {})}
+
+    def fused(gp, dp, z, rng):
         rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
         if s2d:
             # space-to-depth tail: the narrow high-res convs run in block
             # layout at full MXU lane utilization (ops/s2d_decoder.py)
-            logits = decoder_apply_s2d(
-                dec, {"params": dp, "batch_stats": dbs}, feats)
+            logits = apply_s2d_prepared(dec, dp, feats, n_block_stages)
             mask = class_mask_s2d(logits, scfg.num_classes)
         else:
-            logits = dec.apply({"params": dp, "batch_stats": dbs}, feats,
-                               False)
+            logits = dec.apply(dp, feats, False)
             mask = class_mask(logits)
         img = jnp.clip((rgb.astype(jnp.float32) + 1) * 127.5, 0, 255).astype(jnp.uint8)
         return img, mask
 
-    return fused, gparams, dvars["params"], dvars.get("batch_stats", {})
+    return fused, gparams, dprep
 
 
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2) -> float:
-    fused_raw, gp, dp, dbs = build_fused(max_res_log2)
+    fused_raw, gp, dp = build_fused(max_res_log2)
 
     # measurement wrapper: reduce outputs to ONE scalar on device and pull
     # it each iteration. On the axon remote backend block_until_ready is not
     # a reliable completion barrier; an 8-byte D2H of a value data-dependent
     # on the whole computation is.
     @jax.jit
-    def fused_sum(gp, dp, dbs, z, rng):
-        img, mask = fused_raw(gp, dp, dbs, z, rng)
+    def fused_sum(gp, dp, z, rng):
+        img, mask = fused_raw(gp, dp, z, rng)
         return jnp.sum(img.astype(jnp.int32)) + jnp.sum(mask.astype(jnp.int32))
 
     rng = jax.random.PRNGKey(0)
 
     def launch(i):
         z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
-        return fused_sum(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i))
+        return fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i))
 
     for i in range(warmup):
         int(launch(i))

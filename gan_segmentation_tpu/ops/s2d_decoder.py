@@ -7,10 +7,12 @@ XLA's conv emitter runs them at ~6% of achievable peak (round-1 profile:
 ``main_7/conv_1`` 27 ms + ``main_8`` 13 ms per batch-8 step).
 
 This module evaluates the SAME parameters (no retraining, no conversion)
-with the last resblock and the final stage computed on the half-resolution
-block grid with 4x the channels, where the MXU lanes fill up. Measured on
-the round-2 profile, the naive version of this trade lost its winnings to
-layout copies, so the design is copy-free:
+with the last ``n_block_stages`` resblocks and the final stage computed on
+the half-resolution block grid with 4x the channels, where the MXU lanes
+fill up. Consecutive block stages are bridged by one ``depth_to_space``
+each (the only relayout copies in the path). Measured on the round-2
+profile, the naive version of this trade lost its winnings to layout
+copies, so the design is copy-free elsewhere:
 
 - **Channel-major s2d layout**: block channel index = fine_channel*4 +
   parity (parity = a*2 + b for fine pixel (2i+a, 2j+b)). Consequences:
@@ -35,8 +37,11 @@ layout copies, so the design is copy-free:
   channel elementwise. Only the final uint8 mask (or, for parity tests,
   the logits) crosses back through one depth-to-space.
 
-Everything is plain XLA (no Pallas): the scatter kernels are built from
-the decoder's own parameters at trace time and fold into the convs.
+Everything is plain XLA (no Pallas). The kernel scatters, bias tiling,
+dtype casts, and inference-BN folding depend only on parameters, so hot
+loops run them ONCE via :func:`prepare_s2d` and evaluate batches with
+:func:`apply_s2d_prepared` — keeping ~40 tiny slice/update ops out of the
+per-step program (measured ~0.4 ms apiece on the axon backend).
 """
 
 from typing import Dict, List
@@ -144,107 +149,157 @@ def _lrelu(x):
     return jnp.where(x >= 0, x, _LEAKY_SLOPE * x)
 
 
-def decoder_apply_s2d(dec, variables: Dict, inputs: List[jnp.ndarray],
-                      fine_logits: bool = False) -> jnp.ndarray:
-    """Inference-equivalent of ``dec.apply(variables, inputs, False)``.
-
-    ``dec``: a `models.decoder.Decoder` (supplies the static config).
-    Returns logits in channel-major s2d layout (N, H/2, W/2, 4*nc) — pass
-    through ``class_mask_s2d`` for the mask, or set ``fine_logits=True``
-    for the standard (N, H, W, nc) tensor (one depth-to-space).
-    """
-    p = variables["params"]
-    bs = variables.get("batch_stats", {})
-    dt = dec.compute_dtype
+def _plan(dec, n_block_stages: int):
+    """(num_feats, start_res, first_block): resblock stages i >= first_block
+    run in block space over their input grid; earlier ones run fine."""
     num_feats = len(dec.in_channels)
     sres = dec.start_res
     assert num_feats - sres >= 2, "s2d tail needs a resblock + final stage"
+    n_block = max(1, min(n_block_stages, num_feats - 1 - sres))
+    return num_feats, sres, num_feats - 1 - n_block
 
-    def cvt(i, x, s2d):
-        kern = p[f"cvt_{i}_conv"]["kernel"].astype(dt)
-        bias = p[f"cvt_{i}_conv"]["bias"]
-        if s2d:  # fine input -> block space through the conv itself
-            kern = strided_parity_kernel(kern)
-            bias = _tile4(bias)
-            y = conv2d(x.astype(dt), kern, bias.astype(dt), stride=2,
-                       padding=1)
+
+def prepare_s2d(dec, variables: Dict, n_block_stages: int = 3) -> Dict:
+    """One-time parameter folding for :func:`apply_s2d_prepared`.
+
+    Hoists everything that depends only on parameters out of the per-batch
+    step: the s2d kernel scatters (each is a ~9-op slice/update chain that
+    measurably costs device time when re-traced into every step), bias
+    tiling, compute-dtype casts, and inference BatchNorm — which collapses
+    into the preceding conv:  bn(conv(x, k) + b) == conv(x, k*mul) +
+    ((b - mean)*mul + beta)  with  mul = scale*rsqrt(var + eps).
+
+    Returns a pytree of ready-to-run tensors; jit it once per parameter set.
+    """
+    p = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    dt = dec.compute_dtype
+    num_feats, sres, first_block = _plan(dec, n_block_stages)
+
+    def folded(conv_p, bn_p, bn_s):
+        k = conv_p["kernel"].astype(jnp.float32)
+        b = conv_p["bias"].astype(jnp.float32)
+        if bn_p is not None:
+            mul, add = _folded_bn(bn_p, bn_s, jnp.float32)
+            k = k * mul
+            b = b * mul + add
+        return k, b
+
+    stages = {}
+    for i in range(sres, num_feats - 1):
+        st = {}
+        st["cvt_k"], st["cvt_b"] = folded(
+            p[f"cvt_{i}_conv"],
+            p.get(f"cvt_{i}_bn") if dec.use_bn else None,
+            bstats.get(f"cvt_{i}_bn"))
+        blk = p[f"main_{i}"]
+        blk_s = bstats.get(f"main_{i}", {})
+        k0, b0 = folded(blk["conv_0"],
+                        blk.get("bn_0") if dec.use_bn else None,
+                        blk_s.get("bn_0"))
+        k1, b1 = folded(blk["conv_1"],
+                        blk.get("bn_1") if dec.use_bn else None,
+                        blk_s.get("bn_1"))
+        if i < first_block:
+            st["k0"], st["b0"], st["k1"], st["b1"] = k0, b0, k1, b1
+            if "shortcut" in blk:
+                st["ksc"], st["bsc"] = folded(blk["shortcut"], None, None)
         else:
-            y = conv2d(x.astype(dt), kern, bias.astype(dt), padding=1)
-        if dec.use_bn:
-            mul, add = _folded_bn(p[f"cvt_{i}_bn"], bs[f"cvt_{i}_bn"], dt)
-            if s2d:
-                mul, add = _tile4(mul), _tile4(add)
-            y = y * mul + add
-        return _lrelu(y)
+            # block space over the stage-i input grid (fine res = 2*grid)
+            st["k0"] = upsample_conv_kernel_s2d(k0)
+            st["b0"] = _tile4(b0)
+            st["k1"] = conv3x3_kernel_s2d(k1)
+            st["b1"] = _tile4(b1)
+            if "shortcut" in blk:
+                ksc, bsc = folded(blk["shortcut"], None, None)
+                # shortcut = 1x1 conv of the nearest-upsampled input; the
+                # fine upsample is a parity tile == 4x out-channel repeat
+                st["ksc"] = jnp.repeat(ksc, 4, axis=3)
+                st["bsc"] = _tile4(bsc)
+        stages[str(i)] = st
 
-    prev = None
-    # ---- standard stages (everything before the last resblock) ----
+    i = num_feats - 1
+    st = {}
+    ck, cb = folded(p[f"cvt_{i}_conv"],
+                    p.get(f"cvt_{i}_bn") if dec.use_bn else None,
+                    bstats.get(f"cvt_{i}_bn"))
+    st["cvt_k"] = strided_parity_kernel(ck)  # fine input -> block space
+    st["cvt_b"] = _tile4(cb)
+    kf, bf = folded(p[f"main_{i}_conv"], None, None)
+    st["kf"] = conv3x3_kernel_s2d(kf)
+    st["bf"] = _tile4(bf)
+    stages[str(i)] = st
+
+    cast = lambda a: a.astype(dt)
+    return {"stages": jax.tree_util.tree_map(cast, stages)}
+
+
+def apply_s2d_prepared(dec, prepared: Dict, inputs: List[jnp.ndarray],
+                       n_block_stages: int = 3,
+                       fine_logits: bool = False) -> jnp.ndarray:
+    """Inference-equivalent of ``dec.apply(variables, inputs, False)`` from
+    a :func:`prepare_s2d` tree (``n_block_stages`` must match).
+
+    The last ``n_block_stages`` resblocks run on the half-resolution block
+    grid with 4x the channels (full MXU lanes); consecutive block stages are
+    bridged by one ``depth_to_space`` each, and the final stage consumes the
+    last resblock's block output directly. Returns logits in channel-major
+    s2d layout (N, H/2, W/2, 4*nc) — ``class_mask_s2d`` for the mask, or
+    ``fine_logits=True`` for the standard (N, H, W, nc) tensor.
+    """
+    dt = dec.compute_dtype
+    num_feats, sres, first_block = _plan(dec, n_block_stages)
+    stages = prepared["stages"]
+
     from ..ops.resize import upsample_nearest_2x
 
-    for i in range(sres, num_feats - 2):
-        x = cvt(i, inputs[i], s2d=False)
+    prev = None
+    for i in range(sres, num_feats - 1):
+        st = stages[str(i)]
+        x = _lrelu(conv2d(inputs[i].astype(dt), st["cvt_k"], st["cvt_b"],
+                          padding=1))
         if i > sres:
             x = jnp.concatenate([prev, x], axis=-1)
-        x = upsample_nearest_2x(x)
-        blk = p[f"main_{i}"]
-        y = conv2d(x, blk["conv_0"]["kernel"].astype(dt),
-                   blk["conv_0"]["bias"].astype(dt), padding=1)
-        if dec.use_bn:
-            mul, add = _folded_bn(blk["bn_0"], bs[f"main_{i}"]["bn_0"], dt)
-            y = y * mul + add
-        y = _lrelu(y)
-        y = conv2d(y, blk["conv_1"]["kernel"].astype(dt),
-                   blk["conv_1"]["bias"].astype(dt), padding=1)
-        if dec.use_bn:
-            mul, add = _folded_bn(blk["bn_1"], bs[f"main_{i}"]["bn_1"], dt)
-            y = y * mul + add
-        y = _lrelu(y)
-        sc = x
-        if "shortcut" in blk:
-            sc = conv2d(x, blk["shortcut"]["kernel"].astype(dt),
-                        blk["shortcut"]["bias"].astype(dt), padding=0)
-        prev = sc + y
+        if i < first_block:
+            x = upsample_nearest_2x(x)
+            y = _lrelu(conv2d(x, st["k0"], st["b0"], padding=1))
+            y = _lrelu(conv2d(y, st["k1"], st["b1"], padding=1))
+            sc = (conv2d(x, st["ksc"], st["bsc"], padding=0)
+                  if "ksc" in st else x)
+            prev = sc + y
+        else:
+            y = _lrelu(conv2d(x, st["k0"], st["b0"], padding=1))
+            y = _lrelu(conv2d(y, st["k1"], st["b1"], padding=1))
+            sc = (conv2d(x, st["ksc"], st["bsc"], padding=0)
+                  if "ksc" in st else jnp.repeat(x, 4, axis=-1))
+            blk = sc + y  # (N, r, r, 4*features[i+1]) over the stage-i grid
+            # the next resblock needs its fine input; the final stage
+            # consumes block layout directly (channel-major concat)
+            prev = blk if i == num_feats - 2 else depth_to_space(blk)
 
-    # ---- last resblock, in block space over its INPUT grid --------------
-    i = num_feats - 2
-    x = cvt(i, inputs[i], s2d=False)
-    if i > sres:
-        x = jnp.concatenate([prev, x], axis=-1)
-    x = x.astype(dt)
-    blk = p[f"main_{i}"]
-    w0 = upsample_conv_kernel_s2d(blk["conv_0"]["kernel"].astype(dt))
-    y = conv2d(x, w0, _tile4(blk["conv_0"]["bias"]).astype(dt), padding=1)
-    if dec.use_bn:
-        mul, add = _folded_bn(blk["bn_0"], bs[f"main_{i}"]["bn_0"], dt)
-        y = y * _tile4(mul) + _tile4(add)
-    y = _lrelu(y)
-    w1 = conv3x3_kernel_s2d(blk["conv_1"]["kernel"].astype(dt))
-    y = conv2d(y, w1, _tile4(blk["conv_1"]["bias"]).astype(dt), padding=1)
-    if dec.use_bn:
-        mul, add = _folded_bn(blk["bn_1"], bs[f"main_{i}"]["bn_1"], dt)
-        y = y * _tile4(mul) + _tile4(add)
-    y = _lrelu(y)
-    # shortcut = 1x1 conv of the upsampled input; the fine nearest-upsample
-    # is a parity tile, i.e. a 4x output-channel repeat of the 1x1 kernel
-    if "shortcut" in blk:
-        wsc = jnp.repeat(blk["shortcut"]["kernel"].astype(dt), 4, axis=3)
-        sc = conv2d(x, wsc, _tile4(blk["shortcut"]["bias"]).astype(dt),
-                    padding=0)
-    else:
-        sc = jnp.repeat(x, 4, axis=-1)
-    prev_s2d = sc + y  # (N, r, r, 4*features[i+1]) over the stage-i grid
-
-    # ---- final stage, fully in block space --------------------------------
     i = num_feats - 1
-    x8 = cvt(i, inputs[i], s2d=True)
-    # fine channel-concat == block channel-concat in channel-major layout
-    cat = jnp.concatenate([prev_s2d, x8], axis=-1)
-    wf = conv3x3_kernel_s2d(p[f"main_{i}_conv"]["kernel"].astype(dt))
-    logits = conv2d(cat, wf, _tile4(p[f"main_{i}_conv"]["bias"]).astype(dt),
-                    padding=1)
+    st = stages[str(i)]
+    x = _lrelu(conv2d(inputs[i].astype(dt), st["cvt_k"], st["cvt_b"],
+                      stride=2, padding=1))
+    cat = jnp.concatenate([prev, x], axis=-1)
+    logits = conv2d(cat, st["kf"], st["bf"], padding=1)
     if fine_logits:
         return depth_to_space(logits).astype(jnp.float32)
     return logits
+
+
+def decoder_apply_s2d(dec, variables: Dict, inputs: List[jnp.ndarray],
+                      fine_logits: bool = False,
+                      n_block_stages: int = 3) -> jnp.ndarray:
+    """Inference-equivalent of ``dec.apply(variables, inputs, False)``.
+
+    Convenience wrapper: prepares and applies in one trace. Hot loops should
+    call :func:`prepare_s2d` once and :func:`apply_s2d_prepared` per batch
+    instead, keeping the parameter folding out of the step program.
+    """
+    prepared = prepare_s2d(dec, variables, n_block_stages)
+    return apply_s2d_prepared(dec, prepared, inputs, n_block_stages,
+                              fine_logits)
 
 
 def class_mask_s2d(logits_s2d: jnp.ndarray, nclass: int) -> jnp.ndarray:

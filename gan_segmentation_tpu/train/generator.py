@@ -122,7 +122,8 @@ class FusedPipeline:
     """z -> (image uint8, mask uint8) in one jit program (SURVEY §3.2)."""
 
     def __init__(self, image_generator: ImageGenerator, solver,
-                 inference_dtype=jnp.bfloat16, s2d: bool = True):
+                 inference_dtype=jnp.bfloat16, s2d: bool = True,
+                 n_block_stages: int = 3):
         self.gen = image_generator
         self.solver = solver
         gen_model = image_generator.model
@@ -133,30 +134,49 @@ class FusedPipeline:
         nclass = int(dec_model.features_cfg[-1])
         use_s2d = s2d and len(dec_model.in_channels) - dec_model.start_res >= 2
 
-        def fused(gen_params, dec_params, dec_batch_stats, z, noise_rng):
+        from ..ops.s2d_decoder import (apply_s2d_prepared, class_mask_s2d,
+                                       prepare_s2d)
+
+        if use_s2d:
+            # parameter folding (kernel scatters, BN fold, casts) runs once
+            # per solver-parameter set, NOT in the per-batch step program
+            self._prepare = jax.jit(
+                lambda v: prepare_s2d(dec_model, v, n_block_stages))
+        else:
+            self._prepare = lambda v: v
+        self._prep_cache = None  # (params_obj, stats_obj, prepared)
+
+        def fused(gen_params, dec_prepared, z, noise_rng):
             rgb, feats = gen_model.apply({"params": gen_params}, z,
                                          rngs={"noise": noise_rng})
-            variables = {"params": dec_params,
-                         "batch_stats": dec_batch_stats}
             if use_s2d:
                 # narrow high-res convs run in space-to-depth block layout
                 # (ops/s2d_decoder.py) — numerically equivalent, full lanes
-                from ..ops.s2d_decoder import class_mask_s2d, decoder_apply_s2d
-                logits = decoder_apply_s2d(dec_model, variables, feats)
+                logits = apply_s2d_prepared(dec_model, dec_prepared, feats,
+                                            n_block_stages)
                 mask = class_mask_s2d(logits, nclass)
             else:
-                logits = dec_model.apply(variables, feats, False)
+                logits = dec_model.apply(dec_prepared, feats, False)
                 mask = class_mask(logits)
             return _to_uint8(rgb, image_generator.cfg.imrange), mask
 
         self._fused = jax.jit(fused)
 
+    def _prepared(self):
+        """Fold solver params once; refold only if they were swapped
+        (e.g. the annotator's Retrain re-fits the solver in place)."""
+        p, s = self.solver.params, self.solver.batch_stats
+        if self._prep_cache is None or self._prep_cache[0] is not p \
+                or self._prep_cache[1] is not s:
+            prep = self._prepare({"params": p, "batch_stats": s})
+            self._prep_cache = (p, s, prep)
+        return self._prep_cache[2]
+
     def sample_batch(self, batch_size: Optional[int] = None):
         b = batch_size or self.gen.batch_size
         zk, nk = self.gen._next_rngs()
         z = jax.random.normal(zk, (b, self.gen.cfg.latent_size), jnp.float32)
-        return self._fused(self.gen.params, self.solver.params,
-                           self.solver.batch_stats, z, nk)
+        return self._fused(self.gen.params, self._prepared(), z, nk)
 
     def generate_pairs(self, n: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield n (uint8 image HWC, uint8 mask HW) pairs.

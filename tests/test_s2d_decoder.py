@@ -69,8 +69,10 @@ def test_upsample_conv_kernel_s2d_exact():
                                np.asarray(fine), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("max_res_log2", [5, 6])
-def test_decoder_apply_s2d_matches_flax(max_res_log2):
+@pytest.mark.parametrize("max_res_log2,n_block", [(5, 1), (5, 2), (6, 2),
+                                                  (6, 3), (6, 16)])
+def test_decoder_apply_s2d_matches_flax(max_res_log2, n_block):
+    """All block-stage depths (16 clamps to every-resblock-in-block-space)."""
     cfg = SolverConfig(max_res_log2=max_res_log2)
     dec = decoder_from_config(cfg)  # f32 compute
     rs = np.random.RandomState(3)
@@ -84,17 +86,40 @@ def test_decoder_apply_s2d_matches_flax(max_res_log2):
         v["batch_stats"])
 
     ref = jax.jit(lambda v, f: dec.apply(v, f, False))(v, feats)
-    got = jax.jit(lambda v, f: decoder_apply_s2d(dec, v, f,
-                                                 fine_logits=True))(v, feats)
+    got = jax.jit(lambda v, f: decoder_apply_s2d(
+        dec, v, f, fine_logits=True, n_block_stages=n_block))(v, feats)
     assert got.shape == ref.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=2e-4, atol=2e-4)
 
     # s2d mask == fine mask
-    logits_s2d = jax.jit(lambda v, f: decoder_apply_s2d(dec, v, f))(v, feats)
+    logits_s2d = jax.jit(lambda v, f: decoder_apply_s2d(
+        dec, v, f, n_block_stages=n_block))(v, feats)
     m_fine = np.asarray(class_mask(ref))
     m_s2d = np.asarray(class_mask_s2d(logits_s2d, cfg.num_classes))
     np.testing.assert_array_equal(m_s2d, m_fine)
+
+
+def test_prepare_apply_split_matches_wrapper():
+    """prepare_s2d + apply_s2d_prepared == the one-shot wrapper, and the
+    prepared tree is a plain pytree (jittable as an argument)."""
+    from gan_segmentation_tpu.ops.s2d_decoder import (apply_s2d_prepared,
+                                                      prepare_s2d)
+
+    cfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(cfg)
+    rs = np.random.RandomState(7)
+    feats = [jnp.asarray(rs.randn(1, 2 ** (i + 2), 2 ** (i + 2), c), jnp.float32)
+             for i, c in enumerate(cfg.in_channels)]
+    v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(1), f, False))(feats)
+
+    prep = jax.jit(lambda v: prepare_s2d(dec, v, 2))(v)
+    got = jax.jit(lambda p, f: apply_s2d_prepared(dec, p, f, 2,
+                                                  fine_logits=True))(prep, feats)
+    ref = jax.jit(lambda v, f: decoder_apply_s2d(
+        dec, v, f, fine_logits=True, n_block_stages=2))(v, feats)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_decoder_apply_s2d_bf16_close():

@@ -16,15 +16,16 @@ def main():
     batch = int(os.environ.get("B", 32))
     s2d = os.environ.get("S2D", "1") == "1"
     out = os.environ.get("OUT", "/tmp/fused_hlo.txt")
-    fused_raw, gp, dp, dbs = build_fused(10, s2d=s2d)
+    nblk = int(os.environ.get("NBLK", 2))
+    fused_raw, gp, dp = build_fused(10, s2d=s2d, n_block_stages=nblk)
 
-    def fused_sum(gp, dp, dbs, z, rng):
-        img, mask = fused_raw(gp, dp, dbs, z, rng)
+    def fused_sum(gp, dp, z, rng):
+        img, mask = fused_raw(gp, dp, z, rng)
         return jnp.sum(img.astype(jnp.int32)) + jnp.sum(mask.astype(jnp.int32))
 
     z = jnp.zeros((batch, 512))
     rng = jax.random.PRNGKey(0)
-    comp = jax.jit(fused_sum).lower(gp, dp, dbs, z, rng).compile()
+    comp = jax.jit(fused_sum).lower(gp, dp, z, rng).compile()
     with open(out, "w") as fp:
         fp.write(comp.as_text())
     print("wrote", out, os.path.getsize(out), "bytes", flush=True)

@@ -5,17 +5,18 @@ from bench import build_fused
 
 B = int(os.environ.get("B", 32))
 S2D = os.environ.get("S2D", "1") == "1"
-fused_raw, gp, dp, dbs = build_fused(10, s2d=S2D)
+NBLK = int(os.environ.get("NBLK", 2))
+fused_raw, gp, dp = build_fused(10, s2d=S2D, n_block_stages=NBLK)
 
 @jax.jit
-def fused_sum(gp, dp, dbs, z, rng):
-    img, mask = fused_raw(gp, dp, dbs, z, rng)
+def fused_sum(gp, dp, z, rng):
+    img, mask = fused_raw(gp, dp, z, rng)
     return jnp.sum(img.astype(jnp.int32)) + jnp.sum(mask.astype(jnp.int32))
 
 rng = jax.random.PRNGKey(0)
 def launch(i):
     z = jax.random.normal(jax.random.fold_in(rng, i), (B, 512))
-    return fused_sum(gp, dp, dbs, z, jax.random.fold_in(rng, 1000 + i))
+    return fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i))
 
 for i in range(2):
     int(launch(i))
