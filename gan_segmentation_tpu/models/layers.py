@@ -13,7 +13,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.blur import blur_kernel
-from ..ops.conv import conv2d, conv_transpose2d, depthwise_conv2d
+from ..ops.conv import conv2d, conv_transpose2d, depthwise_conv2d, upsample2x_conv2d
 from ..ops.norm import instance_norm
 from ..ops.wscale import wscale_std
 
@@ -55,7 +55,12 @@ class DenseW(nn.Module):
 
 
 class Conv2DW(nn.Module):
-    """`networks_stylegan.py:446-457` — conv with runtime wscale."""
+    """`networks_stylegan.py:446-457` — conv with runtime wscale.
+
+    ``up2x=True`` computes ``conv(upsample_nearest_2x(x))`` as one
+    input-dilated conv (`ops.conv.upsample2x_conv2d`, exact composition) —
+    same params, no materialized 2x intermediate.
+    """
 
     features: int
     kernel_size: int = 3
@@ -65,6 +70,7 @@ class Conv2DW(nn.Module):
     use_wscale: bool = True
     gain: float = float(np.sqrt(2))
     lr_mult: float = 1.0
+    up2x: bool = False
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -81,6 +87,11 @@ class Conv2DW(nn.Module):
             b = self.param("bias", nn.initializers.zeros, (self.features,),
                            jnp.float32) * self.lr_mult
             b = b.astype(self.compute_dtype)
+        if self.up2x:
+            assert self.stride == 1, "up2x composes only with stride 1"
+            return upsample2x_conv2d(x.astype(self.compute_dtype),
+                                     (w * scale).astype(self.compute_dtype),
+                                     b, padding=self.padding)
         return conv2d(x.astype(self.compute_dtype),
                       (w * scale).astype(self.compute_dtype), b,
                       stride=self.stride, padding=self.padding)

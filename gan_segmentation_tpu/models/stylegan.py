@@ -24,7 +24,6 @@ from flax import linen as nn
 
 from ..core.config import GanConfig
 from ..ops.norm import pixel_norm
-from ..ops.resize import upsample_nearest_2x
 from .layers import AdaIN, AddNoise, Bias, Blur, Conv2DTransposeW, Conv2DW, DenseW, leaky_relu
 
 
@@ -67,9 +66,10 @@ class StyleBlock(nn.Module):
                                      compute_dtype=self.compute_dtype,
                                      name="deconv_1")(y)
             else:
-                y = upsample_nearest_2x(y)
+                # upsample_nearest_2x + conv3x3 composed into one
+                # input-dilated conv (exact; ops/conv.upsample2x_conv2d)
                 y = Conv2DW(conv_size, 3, use_bias=False,
-                            use_wscale=cfg.use_wscale,
+                            use_wscale=cfg.use_wscale, up2x=True,
                             compute_dtype=self.compute_dtype,
                             name="conv_1")(y)
             y = Blur(name="blur_1")(y)

@@ -13,6 +13,7 @@ load time (see `core/mx_params.py`).
 from typing import Sequence, Tuple, Union
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 DIMENSION_NUMBERS = ("NHWC", "HWIO", "NHWC")
@@ -109,6 +110,65 @@ def conv_transpose2d_subpixel(x, w, b=None):
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
+
+
+def compose_kernel_2d(w, f):
+    """Compose a constant 2-D filter into an HWIO kernel.
+
+    Two chained cross-correlations collapse into one:
+    ``correlate(correlate(x, w), f) == correlate(x, compose_kernel_2d(w, f))``
+    with the two paddings summed per side — exact only when the
+    intermediate's zero padding coincides with values that are genuinely
+    zero (true for the nearest-2x upsample kernel, see
+    ``upsample2x_conv2d``; NOT true for a conv output, which is why the
+    [1,2,1] blur is not composed). The composed kernel is the full 2-D
+    convolution  C[m] = sum_{k+j=m} w[k] * f[j],  shape
+    (kh+fh-1, kw+fw-1, ci, co).
+    """
+    kh, kw, ci, co = w.shape
+    f = jnp.asarray(f, w.dtype)
+    fh, fw = f.shape
+    wb = w.transpose(2, 3, 0, 1).reshape(ci * co, kh, kw, 1)
+    fk = f[::-1, ::-1][:, :, None, None]  # correlate w/ flipped f == convolve
+    out = lax.conv_general_dilated(
+        wb, fk, (1, 1), [(fh - 1, fh - 1), (fw - 1, fw - 1)],
+        dimension_numbers=DIMENSION_NUMBERS)
+    out = out.reshape(ci, co, kh + fh - 1, kw + fw - 1)
+    return out.transpose(2, 3, 0, 1)
+
+
+_UP2 = np.ones((2, 2), np.float32)
+
+
+def upsample2x_conv2d(x, w, b=None, *, padding: int = 1):
+    """``conv2d(upsample_nearest_2x(x), w, padding)`` as ONE input-dilated
+    conv — bit-exact up to float reassociation.
+
+    nearest-2x == zero-insertion followed by correlation with the all-ones
+    2x2 kernel at pad 1 (each side); the one-sample pad-extension of that
+    upsample is identically zero on every border, so chaining the following
+    conv collapses EXACTLY to a single ``lhs_dilation=2`` conv with kernel
+    ``ones2 (*) w`` (full 2-D convolution) and the pads summed. Replaces the
+    materialized 2x-res upsample buffer + separate conv pass in the
+    generator's non-fused-upscale blocks (`networks_stylegan.py:56-73`).
+
+    Note: composing a zero-padded *follow-up* filter (e.g. the [1,2,1] blur)
+    the same way is NOT exact — the intermediate conv output is nonzero where
+    its zero padding sits — so the blur stays a separate op.
+    """
+    k = compose_kernel_2d(w, _UP2)
+    pad = 1 + padding
+    out = lax.conv_general_dilated(
+        x, k,
+        window_strides=(1, 1),
+        padding=[(pad, pad), (pad, pad)],
+        lhs_dilation=(2, 2),
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else None,
+    )
+    if b is not None:
+        out = out + b.astype(out.dtype)
+    return out
 
 
 def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding: int = 1):

@@ -36,7 +36,9 @@ def produced():
 def test_against_goldens(produced):
     rgb, feats, logits = produced
     g = np.load(GOLDEN)
-    np.testing.assert_allclose(rgb, g["rgb"], rtol=1e-4, atol=1e-5)
+    # atol 5e-5: the composed upsample+conv (ops/conv.upsample2x_conv2d) is
+    # an exact algebraic rewrite but reassociates the summation order
+    np.testing.assert_allclose(rgb, g["rgb"], rtol=1e-4, atol=5e-5)
     np.testing.assert_allclose(logits, g["logits"], rtol=1e-4, atol=1e-4)
     for i, f in enumerate(feats):
         np.testing.assert_allclose(f[:, :4, :4, :8], g[f"feat{i}_crop"],

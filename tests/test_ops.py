@@ -228,3 +228,27 @@ class TestSubpixelDeconv:
         got = conv_transpose2d_subpixel(x, w, b)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-5, atol=1e-5)
+
+
+class TestComposedUpConv:
+    """`ops.conv.upsample2x_conv2d` must equal upsample_nearest_2x + conv2d
+    exactly (the composition is an algebraic identity, not an approximation)."""
+
+    def test_matches_two_op_form(self, rng):
+        from gan_segmentation_tpu.ops.conv import upsample2x_conv2d
+        x = jnp.asarray(rng.randn(2, 7, 9, 5).astype(np.float32))
+        w = jnp.asarray(rng.randn(3, 3, 5, 4).astype(np.float32) * 0.2)
+        b = jnp.asarray(rng.randn(4).astype(np.float32))
+        ref = conv2d(upsample_nearest_2x(x), w, b, padding=1)
+        got = upsample2x_conv2d(x, w, b, padding=1)
+        assert got.shape == (2, 14, 18, 4)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_compose_kernel_identity_filter(self, rng):
+        from gan_segmentation_tpu.ops.conv import compose_kernel_2d
+        w = jnp.asarray(rng.randn(3, 3, 2, 6).astype(np.float32))
+        ident = np.zeros((1, 1), np.float32)
+        ident[0, 0] = 1.0
+        got = compose_kernel_2d(w, ident)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(w), rtol=1e-6)
