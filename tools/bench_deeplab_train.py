@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""DeepLabV3+ train-step throughput on the real TPU.
+
+Measures steady-state images/sec of the jitted train step at the
+reference's production shape (crop 480, batch 8, SGD poly LR — see
+`01_hair.../main.py:80-116`) for both the f32 and bf16 (`--dtype`) paths,
+using the exact step the trainer builds (`train/deeplab_trainer.py:234-262`).
+
+Env: B (batch, default 8), CROP (default 480), DT (f32|bf16|both), ITERS.
+Prints one JSON line per dtype.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
+from gan_segmentation_tpu.ops.losses import seg_loss_with_aux
+from gan_segmentation_tpu.train.deeplab_trainer import make_optimizer
+
+B = int(os.environ.get("B", 8))
+CROP = int(os.environ.get("CROP", 480))
+ITERS = int(os.environ.get("ITERS", 20))
+DT = os.environ.get("DT", "both")
+
+
+def build(dtype):
+    model = DeepLabV3Plus(nclass=2, aux=True, crop_size=CROP, dtype=dtype)
+    dummy = jnp.zeros((1, CROP, CROP, 3), jnp.float32)
+    variables = jax.jit(lambda x: model.init(jax.random.PRNGKey(0), x, False))(dummy)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    tx = make_optimizer(params, 0.005, 10_000, 2e-4, 0.9)
+    opt_state = jax.jit(tx.init)(params)
+
+    def train_step(params, batch_stats, opt_state, images, masks, rng):
+        def loss_fn(p):
+            outputs, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                images.astype(dtype), True, rngs={"dropout": rng},
+                mutable=["batch_stats"])
+            outputs = [o.astype(jnp.float32) for o in outputs]
+            loss = jnp.mean(seg_loss_with_aux(outputs[0], outputs[1], masks,
+                                              aux_weight=0.5))
+            return loss, upd["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, bs, opt, loss
+
+    step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+    return params, batch_stats, opt_state, step
+
+
+def measure(dtype_name):
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    params, bs, opt, step = build(dtype)
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.normal(rng, (B, CROP, CROP, 3), jnp.float32)
+    msk = jax.random.randint(jax.random.fold_in(rng, 1), (B, CROP, CROP), 0, 2)
+    losses = []
+    for i in range(2):  # warmup/compile
+        params, bs, opt, loss = step(params, bs, opt, img, msk,
+                                     jax.random.fold_in(rng, i))
+        float(loss)
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        params, bs, opt, loss = step(params, bs, opt, img, msk,
+                                     jax.random.fold_in(rng, 10 + i))
+        losses.append(loss)
+    # D2H of a data-dependent scalar = the reliable completion barrier here
+    final = float(losses[-1])
+    dt = time.perf_counter() - t0
+    print(json.dumps({"dtype": dtype_name, "crop": CROP, "batch": B,
+                      "images_per_sec": round(B * ITERS / dt, 2),
+                      "sec_per_step": round(dt / ITERS, 4),
+                      "final_loss": round(final, 4)}), flush=True)
+
+
+if __name__ == "__main__":
+    for name in (["f32", "bf16"] if DT == "both" else [DT]):
+        measure(name)
