@@ -20,6 +20,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -27,6 +28,26 @@ def make_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) ->
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (axis_name,))
+
+
+def make_mesh_2d(data: int, space: int,
+                 devices: Optional[Sequence] = None) -> Mesh:
+    """A ``(data, space)`` mesh: batch parallelism x spatial (image-height)
+    parallelism.
+
+    The reference has no model parallelism of any kind (SURVEY §5.7) — this
+    is the TPU-native extension it couldn't express: NHWC activations with
+    H sharded over ``space`` let one 1024² image span several chips, with
+    XLA's SPMD partitioner inserting the conv halo exchanges and turning
+    instance/batch-norm spatial reductions into ICI all-reduces
+    automatically. ``space`` should map to the mesh's minor (fastest-ICI)
+    axis, which this layout does.
+    """
+    if devices is None:
+        devices = jax.devices()
+    assert len(devices) >= data * space, (len(devices), data, space)
+    arr = np.asarray(devices[: data * space]).reshape(data, space)
+    return Mesh(arr, (DATA_AXIS, SPACE_AXIS))
 
 
 def kvstore_to_mesh(kvstore: str = "nccl", device_ids: Optional[Sequence[int]] = None) -> Mesh:
@@ -75,3 +96,26 @@ def shard_batch(mesh: Mesh, tree):
 def replicate(mesh: Mesh, tree):
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def spatial_spec(ndim: int) -> P:
+    """PartitionSpec for an NHWC activation on a 2-D mesh: N over ``data``,
+    H over ``space``, W/C replicated."""
+    assert ndim >= 2, ndim
+    return P(DATA_AXIS, SPACE_AXIS, *([None] * (ndim - 2)))
+
+
+def constrain_spatial(tree, mesh: Optional[Mesh] = None):
+    """``with_sharding_constraint`` every NHWC array in ``tree`` to the
+    (data, space) layout. XLA propagates the constraint into the
+    producing/consuming convs and emits halo exchanges where 3x3 windows
+    cross the H split. Pass the 2-D mesh explicitly (traced constants work
+    fine); with ``mesh=None`` a bare PartitionSpec is used, which requires
+    an enclosing mesh context."""
+
+    def put(x):
+        spec = spatial_spec(np.ndim(x))
+        s = spec if mesh is None else NamedSharding(mesh, spec)
+        return jax.lax.with_sharding_constraint(x, s)
+
+    return jax.tree_util.tree_map(put, tree)
