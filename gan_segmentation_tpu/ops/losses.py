@@ -24,12 +24,24 @@ import jax
 import jax.numpy as jnp
 
 
+def _pick_class(values, labels):
+    """``values[..., labels]`` per pixel WITHOUT a gather.
+
+    ``take_along_axis`` lowers to a per-element gather — measured at
+    ~27 ms/step each on the b8/480² DeepLab train step (the two loss
+    gathers were 43% of the whole step). The one-hot compare+select+reduce
+    over the (small) class axis fuses into one bandwidth-bound pass.
+    """
+    c = values.shape[-1]
+    onehot = labels[..., None] == jnp.arange(c, dtype=labels.dtype)
+    return jnp.sum(jnp.where(onehot, values, 0.0), axis=-1)
+
+
 def _per_pixel_ce(logits, labels):
-    """-log softmax(logits) picked at labels. labels clipped for the gather."""
+    """-log softmax(logits) picked at labels. labels clipped for the pick."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    picked = jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
-    return -picked
+    return -_pick_class(logp, safe)
 
 
 def weighted_softmax_ce(logits, labels, sample_weight):
@@ -61,7 +73,7 @@ def normalized_focal_loss_softmax(logits, labels, *, gamma: float = 2.0,
     """
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    pt = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    pt = _pick_class(probs, safe)
     valid = labels != ignore_label
     pt = jnp.where(valid, pt, 1.0)
     beta = (1.0 - pt) ** gamma
@@ -92,7 +104,7 @@ def area_normalized_focal_loss_softmax(logits, labels, area_weights, *,
     per-pixel ``area_weights ** area_gamma`` before renormalization."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     safe = jnp.clip(labels, 0, logits.shape[-1] - 1)
-    pt = jnp.take_along_axis(probs, safe[..., None], axis=-1)[..., 0]
+    pt = _pick_class(probs, safe)
     valid = labels != ignore_label
     pt = jnp.where(valid, pt, 1.0)
     beta = ((1.0 - pt) ** gamma) * (area_weights.astype(jnp.float32)
