@@ -477,69 +477,103 @@ class MultiEvalModel:
         self.scales = tuple(scales)
         self.prob_avg = prob_avg
         self.pad_values = pad_values  # None -> gluoncv -mean/std (ImageNet)
+        # one fused jit program per distinct (h, w, c) input shape: all
+        # scales, window extraction, flip batch, scatter-add, and resizes run
+        # on device, with a SINGLE D2H pull per image (the per-window host
+        # loop cost ~8 sync roundtrips + MB-scale pulls per image over the
+        # slow tunnel)
+        self._programs = {}
 
-        @jax.jit
-        def crop_forward(params, batch_stats, x):
+    def _window_positions(self, ph: int, pw: int):
+        crop = self.crop_size
+        stride = int(math.ceil(crop * 2.0 / 3.0))
+        h_grids = int(math.ceil(1.0 * (ph - crop) / stride)) + 1
+        w_grids = int(math.ceil(1.0 * (pw - crop) / stride)) + 1
+        return [(min(ig * stride, ph - crop), min(jg * stride, pw - crop))
+                for ig in range(h_grids) for jg in range(w_grids)]
+
+    def _pad_fill(self, c: int) -> np.ndarray:
+        pv = self.pad_values
+        if pv is None:
+            from ..data.segmentation import IMAGENET_MEAN, IMAGENET_STD
+            pv = -IMAGENET_MEAN / IMAGENET_STD
+        fill = np.zeros((c,), np.float32)
+        pv = np.asarray(pv, np.float32)
+        fill[:len(pv)] = pv[:c]
+        return fill
+
+    def _build_program(self, h: int, w: int, c: int):
+        """Jitted (params, batch_stats, image) -> summed (h, w, C) scores."""
+        crop = self.crop_size
+        nclass = self.nclass
+        fill = jnp.asarray(self._pad_fill(c))
+        model, flip, prob_avg = self.model, self.flip, self.prob_avg
+
+        def batched_flip(params, batch_stats, windows):
+            """(G,crop,crop,c) -> flip-averaged (G,crop,crop,nclass); the
+            mirrored crops join the SAME batch, so normal+flip is one
+            forward instead of two."""
+            g = windows.shape[0]
+            if flip:
+                windows = jnp.concatenate(
+                    [windows, windows[:, :, ::-1, :]], axis=0)
             out = model.apply({"params": params, "batch_stats": batch_stats},
-                              x, False)
-            return out[0]
+                              windows, False)[0].astype(jnp.float32)
+            if prob_avg:
+                out = jax.nn.softmax(out, axis=-1)
+            if flip:
+                out = 0.5 * (out[:g] + out[g:, :, ::-1, :])
+            return out
 
-        self._crop_forward = crop_forward
+        def run(params, batch_stats, image):
+            scores = jnp.zeros((h, w, nclass), jnp.float32)
+            for scale in self.scales:
+                long_size = int(math.ceil(self.base_size * scale))
+                if h > w:
+                    height = long_size
+                    width = int(1.0 * w * long_size / (1.0 * h))
+                else:
+                    width = long_size
+                    height = int(1.0 * h * long_size / (1.0 * w))
+                cur = bilinear_resize(image[None], height, width)[0]
+                ph, pw = max(height, crop), max(width, crop)
+                # pad fill == gluoncv -mean/std: zero-pad the residual then
+                # add the fill back (same values as _pad_image)
+                pad = jnp.pad(cur - fill, ((0, ph - height), (0, pw - width),
+                                           (0, 0))) + fill
+                if long_size <= crop:
+                    out = batched_flip(params, batch_stats, pad[None])[0]
+                    out = out[:height, :width]
+                else:
+                    pos = self._window_positions(ph, pw)
+                    windows = jnp.stack(
+                        [pad[y0:y0 + crop, x0:x0 + crop] for y0, x0 in pos])
+                    outs = batched_flip(params, batch_stats, windows)
+                    out = jnp.zeros((ph, pw, nclass), jnp.float32)
+                    cnt = jnp.zeros((ph, pw, 1), jnp.float32)
+                    for i, (y0, x0) in enumerate(pos):
+                        out = out.at[y0:y0 + crop, x0:x0 + crop].add(outs[i])
+                        cnt = cnt.at[y0:y0 + crop, x0:x0 + crop].add(1.0)
+                    out = (out / cnt)[:height, :width]
+                scores = scores + bilinear_resize(out[None], h, w)[0]
+            return scores
 
-    def _flip_inference(self, x):
-        out = self._crop_forward(self.params, self.batch_stats, x)
-        if self.prob_avg:
-            out = jax.nn.softmax(out, axis=-1)
-        if self.flip:
-            fout = self._crop_forward(self.params, self.batch_stats,
-                                      x[:, :, ::-1, :])
-            if self.prob_avg:
-                fout = jax.nn.softmax(fout, axis=-1)
-            out = 0.5 * (fout[:, :, ::-1, :] + out)
-        return out
+        return jax.jit(run)
+
+    def device_scores(self, image: np.ndarray):
+        """Summed (H, W, nclass) scores as a DEVICE array (no D2H pull) —
+        callers that post-process on device (`SegmentationTester.test`)
+        avoid the MB-scale per-image transfer over the host link."""
+        h, w, c = image.shape
+        key = (h, w, c)
+        if key not in self._programs:
+            self._programs[key] = self._build_program(h, w, c)
+        return self._programs[key](self.params, self.batch_stats,
+                                   jnp.asarray(image))
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
-        """image: (H, W, 3) float32 normalized -> summed scores (H, W, C)."""
-        h, w = image.shape[:2]
-        crop = self.crop_size
-        scores = np.zeros((h, w, self.nclass), np.float32)
-        for scale in self.scales:
-            long_size = int(math.ceil(self.base_size * scale))
-            if h > w:
-                height = long_size
-                width = int(1.0 * w * long_size / (1.0 * h))
-                short_size = width
-            else:
-                width = long_size
-                height = int(1.0 * h * long_size / (1.0 * w))
-                short_size = height
-            cur = np.asarray(bilinear_resize(
-                jnp.asarray(image)[None], height, width)[0])
-            if long_size <= crop:
-                pad = _pad_image(cur, crop, self.pad_values)
-                out = self._flip_inference(jnp.asarray(pad)[None])
-                out = np.asarray(out)[0, :height, :width]
-            else:
-                ph, pw = max(height, crop), max(width, crop)
-                pad = _pad_image(cur, crop, self.pad_values)
-                stride = int(math.ceil(crop * 2.0 / 3.0))
-                h_grids = int(math.ceil(1.0 * (ph - crop) / stride)) + 1
-                w_grids = int(math.ceil(1.0 * (pw - crop) / stride)) + 1
-                out = np.zeros((ph, pw, self.nclass), np.float32)
-                count = np.zeros((ph, pw, 1), np.float32)
-                for ig in range(h_grids):
-                    for jg in range(w_grids):
-                        y0 = min(ig * stride, ph - crop)
-                        x0 = min(jg * stride, pw - crop)
-                        window = pad[y0:y0 + crop, x0:x0 + crop]
-                        o = np.asarray(self._flip_inference(
-                            jnp.asarray(window)[None]))[0]
-                        out[y0:y0 + crop, x0:x0 + crop] += o
-                        count[y0:y0 + crop, x0:x0 + crop] += 1
-                out = (out / count)[:height, :width]
-            scores += np.asarray(bilinear_resize(
-                jnp.asarray(out)[None], h, w)[0])
-        return scores
+        """image: (H, W, C) float32 normalized -> summed scores (H, W, nclass)."""
+        return np.asarray(self.device_scores(image))
 
     def parallel_forward(self, images):
         return [self(np.asarray(im)) for im in images]
@@ -603,13 +637,40 @@ class SegmentationTester:
     def test(self, testset):
         self.metric.reset()
         self.metric_orig.reset()
+        threshold = self.metric.threshold
+        nclass = self.metric.num_classes
+
+        @jax.jit
+        def label_map(scores):
+            # exactly metrics._pred_label on softmax(scores): threshold
+            # P(class 1) in binary mode, else argmax — computed on device so
+            # only a uint8 (H, W) map crosses to host per image
+            probs = jax.nn.softmax(scores, axis=-1)
+            if threshold is not None and nclass <= 2:
+                lab = (probs[..., 1] > threshold).astype(jnp.uint8)
+            else:
+                lab = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+            return lab
+
+        def drain(pending):
+            mask, lab = pending
+            pred = np.asarray(lab).astype(np.int64)
+            # metrics accept (N, H, W) integer label maps directly
+            # (`_pred_label` passes ndim-3 inputs through)
+            self.metric.update([mask[None]], [pred[None]])
+            self.metric_orig.update([mask[None]], [pred[None]])
+
+        pending = None  # 1-deep pipeline: image i+1 dispatches before i syncs
         for i in range(len(testset)):
             item = testset[i]
             img, mask = item[0], item[1]
-            scores = self.evaluator(np.asarray(img, np.float32))
-            probs = np.asarray(jax.nn.softmax(jnp.asarray(scores), axis=-1))
-            self.metric.update([mask[None]], [probs[None]])
-            self.metric_orig.update([mask[None]], [probs[None]])
+            scores = self.evaluator.device_scores(np.asarray(img, np.float32))
+            lab = label_map(scores)
+            if pending is not None:
+                drain(pending)
+            pending = (mask, lab)
+        if pending is not None:
+            drain(pending)
         logger.info("----- new metric ------")
         for n, v in zip(*self.metric.get()):
             logger.info("%s: %.5f%%", n, 100 * v)

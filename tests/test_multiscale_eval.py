@@ -78,3 +78,33 @@ def test_pad_image():
                                np.broadcast_to(-IMAGENET_MEAN / IMAGENET_STD,
                                                (6, 20, 3)), rtol=1e-6)
     np.testing.assert_array_equal(out[:10], img)
+
+
+def test_device_label_path_matches_prob_update():
+    """`SegmentationTester.test` feeds metrics a device-computed (H, W)
+    label map instead of full probs; both must produce identical numbers."""
+    from gan_segmentation_tpu.metrics.seg_metrics import SegMetric
+
+    rs = np.random.RandomState(3)
+    scores = rs.randn(2, 24, 24, 2).astype(np.float32)
+    mask = rs.randint(-1, 2, (2, 24, 24)).astype(np.int64)
+    probs = np.asarray(jax.nn.softmax(jnp.asarray(scores), axis=-1))
+    labels = (probs[..., 1] > 0.5).astype(np.int64)
+
+    m_prob = SegMetric(2, threshold=0.5, compute_dice=True)
+    m_prob.update([mask], [probs])
+    m_lab = SegMetric(2, threshold=0.5, compute_dice=True)
+    m_lab.update([mask], [labels])
+
+    n1, v1 = m_prob.get()
+    n2, v2 = m_lab.get()
+    assert n1 == n2
+    np.testing.assert_allclose(v1, v2, rtol=1e-12)
+
+
+def test_device_scores_equals_call():
+    ev = build(crop=32, base=48, scales=(1.0,), flip=True)
+    img = np.random.RandomState(5).randn(48, 48, 3).astype(np.float32)
+    a = ev(img)
+    b = np.asarray(ev.device_scores(img))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
