@@ -374,3 +374,33 @@ class TestTrainerEndToEnd:
         scores = ev(img)
         assert scores.shape == (96, 80, 2)
         assert np.isfinite(scores).all()
+
+
+class TestUint8Feed:
+    """Raw-uint8 feeding + on-device normalization (host-link traffic 4x
+    lower) must be numerically identical to host-side imagenet_transform."""
+
+    def test_device_normalize_matches_host_transform(self):
+        from gan_segmentation_tpu.data.segmentation import imagenet_transform
+        from gan_segmentation_tpu.train.deeplab_trainer import _device_normalize
+
+        rs = np.random.RandomState(0)
+        img = rs.randint(0, 256, (4, 16, 16, 3), np.uint8)
+        host = np.stack([imagenet_transform(im) for im in img])
+        dev = np.asarray(_device_normalize(jnp.asarray(img)))
+        np.testing.assert_allclose(dev, host, rtol=1e-6, atol=1e-6)
+        # normalized f32 passes through untouched
+        out = np.asarray(_device_normalize(jnp.asarray(host)))
+        np.testing.assert_array_equal(out, host)
+
+    def test_feed_dtypes(self):
+        from gan_segmentation_tpu.train.deeplab_trainer import SegmentationTrainer
+
+        f = SegmentationTrainer._feed
+        assert f(np.zeros((2, 4, 4, 3), np.uint8), 2).dtype == np.uint8
+        assert f(np.zeros((2, 4, 4), np.int32), 2).dtype == np.int8
+        assert f(np.zeros((2, 4, 4), np.int32), 300).dtype == np.int32
+        assert f(np.zeros((2, 4, 4, 3), np.float64), 2).dtype == np.float32
+        # label values survive the int8 round-trip
+        m = np.array([[-1, 0, 1, 20]], np.int64)
+        np.testing.assert_array_equal(f(m, 21).astype(np.int64), m)

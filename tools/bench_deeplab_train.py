@@ -39,6 +39,10 @@ def build(dtype):
     opt_state = jax.jit(tx.init)(params)
 
     def train_step(params, batch_stats, opt_state, images, masks, rng):
+        from gan_segmentation_tpu.train.deeplab_trainer import _device_normalize
+        images = _device_normalize(images)
+        masks = masks.astype(jnp.int32)
+
         def loss_fn(p):
             outputs, upd = model.apply(
                 {"params": p, "batch_stats": batch_stats},
@@ -59,11 +63,31 @@ def build(dtype):
 
 
 def measure(dtype_name):
+    """H2D env var: 'none' (default) reuses device arrays — pure device-step
+    rate; 'f32'/'uint8' feed FRESH host arrays each step (the real training
+    loop shape: upload rides the ~17 MB/s axon host link, so the feed dtype
+    dominates — see `SegmentationTrainer._feed`)."""
+    import numpy as np
+
+    h2d = os.environ.get("H2D", "none")
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     params, bs, opt, step = build(dtype)
     rng = jax.random.PRNGKey(0)
-    img = jax.random.normal(rng, (B, CROP, CROP, 3), jnp.float32)
-    msk = jax.random.randint(jax.random.fold_in(rng, 1), (B, CROP, CROP), 0, 2)
+    if h2d == "none":
+        img = jax.random.normal(rng, (B, CROP, CROP, 3), jnp.float32)
+        msk = jax.random.randint(jax.random.fold_in(rng, 1),
+                                 (B, CROP, CROP), 0, 2)
+    else:
+        rsn = np.random.RandomState(0)
+        imgs_np = rsn.randint(0, 256, (B, CROP, CROP, 3), np.uint8)
+        msk_np = rsn.randint(0, 2, (B, CROP, CROP)).astype(np.int8)
+        if h2d == "f32":
+            from gan_segmentation_tpu.data.segmentation import (
+                IMAGENET_MEAN, IMAGENET_STD)
+            imgs_np = ((imgs_np.astype(np.float32) / 255.0 - IMAGENET_MEAN)
+                       / IMAGENET_STD)
+            msk_np = msk_np.astype(np.int32)
+        img, msk = jnp.asarray(imgs_np), jnp.asarray(msk_np)
     losses = []
     for i in range(2):  # warmup/compile
         params, bs, opt, loss = step(params, bs, opt, img, msk,
@@ -71,13 +95,17 @@ def measure(dtype_name):
         float(loss)
     t0 = time.perf_counter()
     for i in range(ITERS):
+        if h2d != "none":
+            # fresh host arrays each step: the upload is part of the loop
+            img = jnp.asarray(np.ascontiguousarray(imgs_np))
+            msk = jnp.asarray(np.ascontiguousarray(msk_np))
         params, bs, opt, loss = step(params, bs, opt, img, msk,
                                      jax.random.fold_in(rng, 10 + i))
         losses.append(loss)
     # D2H of a data-dependent scalar = the reliable completion barrier here
     final = float(losses[-1])
     dt = time.perf_counter() - t0
-    print(json.dumps({"dtype": dtype_name, "crop": CROP, "batch": B,
+    print(json.dumps({"dtype": dtype_name, "h2d": h2d, "crop": CROP, "batch": B,
                       "images_per_sec": round(B * ITERS / dt, 2),
                       "sec_per_step": round(dt / ITERS, 4),
                       "final_loss": round(final, 4)}), flush=True)
