@@ -72,6 +72,10 @@ class SolverConfig:
     seed: int = 1
     kvstore: str = "nccl"
     cache_max_size: int = 4  # GB (`seg_solver.py:88`)
+    # TPU extension: keep the whole annotated collection resident in HBM and
+    # select batches with on-device dynamic-slices (SegSolver._try_device_cache)
+    device_cache: bool = True
+    device_cache_gb: float = 8.0
     num_classes: int = 2
     not_ignore_classes: Optional[Sequence[int]] = None
     cls_type: str = "hair"

@@ -158,6 +158,82 @@ class SegSolver:
             tx = optax.chain(optax.add_decayed_weights(cfg.wd), tx)
         return tx
 
+    def _try_device_cache(self, dataset):
+        """Upload the whole annotated collection to HBM once.
+
+        The reference protocol is batch 1 x 24 epochs over ~20 samples
+        whose fp32 feature pyramids are ~65-130 MB each; re-uploading them
+        every step over the ~17 MB/s host link costs seconds per step while
+        the device step is milliseconds. With the full set resident in HBM
+        (~1.3-2.6 GB of a 16 GB chip) each step selects its batch with an
+        on-device dynamic-slice instead.
+
+        Returns ``(feats_all, masks_all)`` device arrays — feats_all[i] is
+        (S, h_i, w_i, c_i) f32, masks_all is (S, H, W) int8 — or None when
+        over the ``device_cache_gb`` budget, under multi-device data
+        parallelism (batches must be host-sharded there), or on any upload
+        failure (falls back to per-step upload).
+        """
+        cfg = self.cfg
+        if not getattr(cfg, "device_cache", True) or self.mesh.size != 1:
+            return None
+        try:
+            items = [dataset.get_item(i) for i in range(len(dataset))]
+            feats = [np.stack([it[2][i] for it in items]).astype(np.float32)
+                     for i in range(len(items[0][2]))]
+            masks = np.stack([it[1] for it in items])
+            # int8 storage when the label range allows (trimap: {-1, 0, 1})
+            if masks.min() >= -128 and masks.max() <= 127:
+                masks = masks.astype(np.int8)
+            total = sum(f.nbytes for f in feats) + masks.nbytes
+            budget = getattr(cfg, "device_cache_gb", 8.0) * 1024 ** 3
+            if total > budget:
+                log.info("device cache skipped: %.2f GB > %.2f GB budget",
+                         total / 1024 ** 3, budget / 1024 ** 3)
+                return None
+            feats_dev = [jnp.asarray(f) for f in feats]
+            masks_dev = jnp.asarray(masks)
+            jax.block_until_ready(masks_dev)
+            log.info("device cache: %d samples, %.2f GB resident in HBM",
+                     len(items), total / 1024 ** 3)
+            return feats_dev, masks_dev
+        except Exception as exc:  # fall back to the per-step upload path
+            log.warning("device cache disabled (%s)", exc)
+            return None
+
+    def _build_train_step_cached(self, tx, batch_size: int):
+        """Train step reading its batch out of the HBM-resident dataset."""
+        model = self.model
+
+        def train_step(state: SolverState, feats_all, masks_all, idx, rng):
+            features = [
+                jnp.stack([jax.lax.dynamic_index_in_dim(f, idx[b], 0,
+                                                        keepdims=False)
+                           for b in range(batch_size)])
+                for f in feats_all]
+            mask = jnp.stack([jax.lax.dynamic_index_in_dim(masks_all, idx[b],
+                                                           0, keepdims=False)
+                              for b in range(batch_size)]).astype(jnp.int32)
+
+            def loss_fn(params):
+                logits, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    features, True, rngs={"dropout": rng},
+                    mutable=["batch_stats"])
+                w = _mask_weights(mask)
+                loss = jnp.mean(weighted_softmax_ce(logits, mask, w))
+                return loss, (logits, updates["batch_stats"])
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = SolverState(new_params, new_bs, new_opt, state.step + 1)
+            acc = jnp.mean((jnp.argmax(logits, -1) == mask).astype(jnp.float32))
+            return new_state, loss, acc
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
     def _build_train_step(self, tx):
         model = self.model
 
@@ -193,8 +269,21 @@ class SegSolver:
         opt_state = jax.jit(tx.init)(self.params)
         state = SolverState(self.params, self.batch_stats, opt_state,
                             jnp.zeros((), jnp.int32))
-        train_step = self._build_train_step(tx)
+        cached = self._try_device_cache(dataset)
+        if cached is not None:
+            feats_all, masks_all = cached
+            train_step_cached = self._build_train_step_cached(
+                tx, cfg.train_batch_size)
+        train_step = self._build_train_step(tx) if cached is None else None
         rng = jax.random.PRNGKey(self.seed)
+
+        def epoch_batches(epoch):
+            """Index order identical to ``dataset.batches`` (same RNG use)."""
+            order = np.arange(len(dataset))
+            np.random.RandomState(self.seed + epoch).shuffle(order)
+            b = cfg.train_batch_size
+            for s in range(0, len(order) - (b - 1), b):
+                yield order[s:s + b]
 
         display = cfg.train_display_iters
         for epoch in range(cfg.train_epochs):
@@ -202,12 +291,22 @@ class SegSolver:
             speed_tic = time.time()
             losses, accs = [], []
             nbatch = 0
-            for batch in dataset.batches(cfg.train_batch_size, shuffle=True,
-                                         seed=self.seed + epoch):
+            if cached is not None:
+                batch_source = epoch_batches(epoch)
+            else:
+                batch_source = dataset.batches(cfg.train_batch_size,
+                                               shuffle=True,
+                                               seed=self.seed + epoch)
+            for batch in batch_source:
                 rng, step_rng = jax.random.split(rng)
-                feats = shard_batch(self.mesh, batch["features"])
-                mask = shard_batch(self.mesh, batch["mask"])
-                state, loss, acc = train_step(state, feats, mask, step_rng)
+                if cached is not None:
+                    state, loss, acc = train_step_cached(
+                        state, feats_all, masks_all,
+                        jnp.asarray(batch, jnp.int32), step_rng)
+                else:
+                    feats = shard_batch(self.mesh, batch["features"])
+                    mask = shard_batch(self.mesh, batch["mask"])
+                    state, loss, acc = train_step(state, feats, mask, step_rng)
                 losses.append(loss)
                 accs.append(acc)
                 nbatch += 1

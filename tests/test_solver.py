@@ -140,3 +140,46 @@ class TestSolverEndToEnd:
         assert "mask_000000.png" in files
         assert "gt_mask_000000.png" in files
         assert "metrics_000000.txt" in files
+
+
+class TestDeviceCache:
+    """HBM-resident dataset cache (`SegSolver._try_device_cache`): batch
+    selection via on-device dynamic-slice must train identically to the
+    per-step upload path (same seed -> same order -> same numbers)."""
+
+    def test_cached_fit_matches_uncached(self, annotation_dir, tmp_path):
+        import jax
+        from gan_segmentation_tpu.core.mesh import make_mesh
+
+        mesh1 = make_mesh(jax.devices()[:1])  # cache requires mesh.size == 1
+
+        def run(device_cache: bool, sub: str):
+            cfg = small_cfg()
+            cfg.train_epochs = 3
+            cfg.device_cache = device_cache
+            d = tmp_path / sub
+            d.mkdir()
+            s = SegSolver(5, str(annotation_dir), str(d), cfg=cfg,
+                          mesh=mesh1, keep_weights=True, seed=7)
+            s.fit()
+            return s
+
+        a = run(True, "cached")
+        b = run(False, "plain")
+        la = jax.tree_util.tree_leaves(a.params)
+        lb = jax.tree_util.tree_leaves(b.params)
+        for x, y in zip(la, lb):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=1e-5, atol=1e-6)
+
+    def test_cache_respects_budget(self, annotation_dir):
+        import jax
+        from gan_segmentation_tpu.core.mesh import make_mesh
+
+        cfg = small_cfg()
+        cfg.device_cache_gb = 1e-9  # force over-budget
+        s = SegSolver(5, str(annotation_dir), "/tmp/nonexistent-ckpt-dir-x",
+                      cfg=cfg, mesh=make_mesh(jax.devices()[:1]),
+                      keep_weights=True)
+        ds, _ = s.init_data()
+        assert s._try_device_cache(ds) is None
