@@ -146,6 +146,13 @@ class FusedPipeline:
             self._prepare = lambda v: v
         self._prep_cache = None  # (params_obj, stats_obj, prepared)
 
+        # binary masks cross the host link bit-PACKED (8 pixels/byte, MSB
+        # first == np.unpackbits order): the generate writer loop is
+        # D2H-bound on this link (~4.2 MB/pair), and the mask is 1/4 of it
+        res = 2 ** image_generator.cfg.max_res_log2
+        self._pack_masks = nclass == 2 and res % 8 == 0
+        pack_masks = self._pack_masks
+
         def fused(gen_params, dec_prepared, z, noise_rng):
             rgb, feats = gen_model.apply({"params": gen_params}, z,
                                          rngs={"noise": noise_rng})
@@ -158,6 +165,12 @@ class FusedPipeline:
             else:
                 logits = dec_model.apply(dec_prepared, feats, False)
                 mask = class_mask(logits)
+            if pack_masks:
+                n, h, w = mask.shape
+                bits = mask.reshape(n, h, w // 8, 8).astype(jnp.uint8)
+                weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1],
+                                      jnp.uint8)
+                mask = jnp.sum(bits * weights, axis=-1, dtype=jnp.uint8)
             return _to_uint8(rgb, image_generator.cfg.imrange), mask
 
         self._fused = jax.jit(fused)
@@ -173,6 +186,9 @@ class FusedPipeline:
         return self._prep_cache[2]
 
     def sample_batch(self, batch_size: Optional[int] = None):
+        """Device batch: (uint8 imgs NHWC, uint8 masks). Binary masks come
+        bit-packed along W (8 px/byte, `np.unpackbits` order) when
+        ``self._pack_masks``; `generate_pairs` unpacks on host."""
         b = batch_size or self.gen.batch_size
         zk, nk = self.gen._next_rngs()
         z = jax.random.normal(zk, (b, self.gen.cfg.latent_size), jnp.float32)
@@ -194,6 +210,8 @@ class FusedPipeline:
                 pending = self.sample_batch(b)  # enqueue next before D2H wait
             imgs = np.asarray(imgs_dev)
             masks = np.asarray(masks_dev)
+            if self._pack_masks:
+                masks = np.unpackbits(masks, axis=-1)
             for i in range(take):
                 yield imgs[i], masks[i]
             produced += take
