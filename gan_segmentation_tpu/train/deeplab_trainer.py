@@ -107,7 +107,8 @@ def make_optimizer(params, base_lr: float, total_iters: int, wd: float,
 
 
 def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
-               drop_last: bool = True, prefetch: int = 2):
+               drop_last: bool = True, prefetch: int = 2,
+               process_index: int = 0, process_count: int = 1):
     """Simple batcher with a background prefetch thread (host-side decode
     overlaps device compute).
 
@@ -115,6 +116,14 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
     with_depth batchify ``Tuple(Tuple(Stack(), Stack()), Stack())``
     (`lib/core/segmentation.py:32-35`) — are stacked component-wise. The
     worker thread is stopped (not abandoned) if the consumer exits early.
+
+    Multi-host: pass ``process_index``/``process_count`` (e.g.
+    ``jax.process_index()/jax.process_count()``). Every process draws the
+    SAME seeded global permutation and takes its contiguous
+    ``batch_size``-slice of each global batch of ``batch_size *
+    process_count`` — disjoint, covering shards whose union is exactly the
+    single-process order. Assemble the global array with
+    `core.distributed.make_global_batch`.
     """
     import queue
     import threading
@@ -123,7 +132,15 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
     order = np.arange(n)
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
-    steps = n // batch_size if drop_last else math.ceil(n / batch_size)
+    if process_count > 1:
+        g = batch_size * process_count
+        steps = n // g  # multi-host always drops the ragged tail
+        order = np.concatenate([
+            order[s * g + process_index * batch_size:
+                  s * g + (process_index + 1) * batch_size]
+            for s in range(steps)]) if steps else order[:0]
+    else:
+        steps = n // batch_size if drop_last else math.ceil(n / batch_size)
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = threading.Event()
