@@ -72,3 +72,57 @@ def test_spatial_forward_matches_unsharded(data, space):
 def test_spatial_spec_shape():
     assert spatial_spec(4) == P("data", "space", None, None)
     assert spatial_spec(2) == P("data", "space")
+
+
+def test_spatial_train_step_matches_unsharded():
+    """Gradients flow through the halo exchanges: one decoder train step
+    with H-sharded activations equals the unsharded step."""
+    import optax
+    from gan_segmentation_tpu.ops.losses import weighted_softmax_ce
+
+    scfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(scfg)
+    rs = np.random.RandomState(0)
+    feats = [jnp.asarray(rs.randn(2, 2 ** (i + 2), 2 ** (i + 2), c)
+                         .astype(np.float32))
+             for i, c in enumerate(scfg.in_channels)]
+    mask = jnp.asarray(rs.randint(-1, 2, (2, 32, 32)).astype(np.int32))
+    dvars = jax.jit(lambda f: dec.init(jax.random.PRNGKey(1), f, False))(feats)
+    # SGD: post-step params differ from pre-step by exactly lr*grad, so the
+    # comparison tests the gradients (incl. halo-exchange transposes)
+    # directly; Adam's m/sqrt(v) normalization would amplify ulp-level grad
+    # noise on near-zero bias params into sign flips.
+    tx = optax.sgd(1e-2)
+    opt0 = jax.jit(tx.init)(dvars["params"])
+
+    def step(params, batch_stats, opt, feats, mask, mesh=None):
+        if mesh is not None:
+            feats = constrain_spatial(feats, mesh)
+
+        def loss_fn(p):
+            logits, upd = dec.apply(
+                {"params": p, "batch_stats": batch_stats}, feats, True,
+                rngs={"dropout": jax.random.PRNGKey(2)},
+                mutable=["batch_stats"])
+            w = (mask > -1).astype(jnp.float32)
+            return jnp.mean(weighted_softmax_ce(logits, mask, w))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), loss
+
+    p_ref, l_ref = jax.jit(step)(dvars["params"], dvars["batch_stats"],
+                                 opt0, feats, mask)
+
+    mesh = make_mesh_2d(2, 4)
+    p_sp, l_sp = jax.jit(
+        lambda p, b, o, f, m: step(p, b, o, f, m, mesh=mesh))(
+        replicate(mesh, dvars["params"]), replicate(mesh, dvars["batch_stats"]),
+        replicate(mesh, opt0), replicate(mesh, feats),
+        jax.device_put(mask, NamedSharding(mesh, P())))
+
+    np.testing.assert_allclose(float(l_sp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p_sp),
+                    jax.tree_util.tree_leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-5)
