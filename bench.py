@@ -108,9 +108,10 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 def main():
     ap = argparse.ArgumentParser()
     # batch sweep on the axon v5e (r2): 32→~170, 48→213, 96→306, 112→343,
-    # 128→431 samples/sec; ≥144 fails remote compile (tpu_compile_helper
+    # 128→431 samples/sec; ≥136 fails remote compile (tpu_compile_helper
     # exit 1). The conv emitters keep improving with batch — 128 is the
-    # largest compilable and the throughput sweet spot.
+    # largest compilable and the throughput sweet spot. s2d tail depth
+    # sweep at b128: n_block_stages 2→439, 3→440, 4→428 — 3 is optimal.
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--max-res-log2", type=int, default=10)
