@@ -5,9 +5,11 @@ Re-implements `deeplabv3plus/lib/data/segmentation/*`: directory-scanned
 conventions of each domain, and the reference's random-with-replacement
 "epoch" (``train_epoch_len`` draws per epoch, `ffhq:57-58,88-92`).
 
-Samples are returned as (image HWC float32 normalized NHWC-ready, mask HW
-int32); the ImageNet normalization of the reference's
-``transforms.Normalize`` (`01/main.py:44-53`) is applied by ``transform``.
+Samples are returned as (image HWC, mask HW int32). With the default
+``transform`` the image is float32 ImageNet-normalized, matching the
+reference's ``transforms.Normalize`` (`01/main.py:44-53`); with
+``transform=None`` it stays **uint8** so the trainer can normalize on device
+(4x less host-link traffic — see ``train.deeplab_trainer._device_normalize``).
 """
 
 import random
@@ -111,8 +113,11 @@ class SegmentationDataset:
 
         if self.transform is not None:
             img = self.transform(img)
-        else:
-            img = img.astype(np.float32)
+        # transform=None keeps the image uint8: the trainer feeds it raw and
+        # ImageNet-normalizes ON DEVICE (`train.deeplab_trainer
+        # ._device_normalize`), cutting host-link traffic 4x vs f32.
+        # (Casting to f32 here would skip device normalization — the model
+        # would see raw 0-255 values — so the dtype IS the contract.)
         mask = np.asarray(mask, np.int32)
 
         if self.return_path:

@@ -54,6 +54,54 @@ class TestLSUN:
         assert set(np.unique(m)) <= {-1, 1, 2}
 
 
+class TestUint8FeedPath:
+    """transform=None must deliver uint8 all the way to the device feed, and
+    on-device normalization must equal the host imagenet_transform path
+    (the ADVICE r2 high finding: an astype(f32) in __getitem__ silently
+    bypassed _device_normalize, training on raw 0-255 images)."""
+
+    def _make_dataset(self, tmp_path, transform):
+        from gan_segmentation_tpu.data.augment import (
+            CenterCrop, PadIfNeeded, RGBSegmentationAug)
+        from gan_segmentation_tpu.data.segmentation import FFHQHairSegmentation
+        d = tmp_path / "val"
+        d.mkdir(exist_ok=True)
+        rs = np.random.RandomState(0)
+        for i in range(2):
+            cv2.imwrite(str(d / f"img_{i:06d}.jpg"),
+                        rs.randint(0, 255, (16, 16, 3)).astype(np.uint8))
+            cv2.imwrite(str(d / f"mask_{i:06d}.png"),
+                        rs.randint(0, 2, (16, 16)).astype(np.uint8))
+        aug = RGBSegmentationAug([PadIfNeeded(16, 16), CenterCrop(16, 16)],
+                                 ignore_class=-1)
+        return FFHQHairSegmentation(str(tmp_path), split="val",
+                                    transform=transform, augmentator=aug)
+
+    def test_dataset_delivers_uint8_and_batch_iter_preserves_it(self, tmp_path):
+        from gan_segmentation_tpu.train.deeplab_trainer import (
+            SegmentationTrainer, batch_iter)
+        ds = self._make_dataset(tmp_path, transform=None)
+        img, mask = ds[0]
+        assert img.dtype == np.uint8, "transform=None must keep uint8"
+        imgs, masks, _ = next(iter(batch_iter(ds, 2, shuffle=False)))
+        assert imgs.dtype == np.uint8
+        feed = SegmentationTrainer._feed(imgs, 256)
+        assert feed.dtype == np.uint8  # uint8 rides the host link untouched
+
+    def test_device_normalize_equals_imagenet_transform(self, tmp_path):
+        import jax.numpy as jnp
+        from gan_segmentation_tpu.train.deeplab_trainer import _device_normalize
+        ds_raw = self._make_dataset(tmp_path, transform=None)
+        ds_f32 = self._make_dataset(tmp_path, transform=imagenet_transform)
+        raw, _ = ds_raw[0]
+        ref, _ = ds_f32[0]
+        on_device = np.asarray(_device_normalize(jnp.asarray(raw)))
+        np.testing.assert_allclose(on_device, ref, atol=1e-5)
+        # f32 feeds pass through unchanged (trace specializes on dtype)
+        np.testing.assert_allclose(
+            np.asarray(_device_normalize(jnp.asarray(ref))), ref, atol=0)
+
+
 class TestOriginalAug:
     def test_val_mode(self):
         aug = OriginalRGBSegmentationAug(base_size=64, crop_size=32,
