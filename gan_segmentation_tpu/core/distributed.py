@@ -40,6 +40,41 @@ def initialize(coordinator_address: Optional[str] = None,
     return jax.process_count() > 1
 
 
+def is_primary() -> bool:
+    """True on the process that should perform host-side writes
+    (checkpoints, TensorBoard, image dumps)."""
+    return jax.process_index() == 0
+
+
+def local_shard(arr) -> np.ndarray:
+    """Pull this process's rows of a batch-sharded global array to host.
+
+    Shards are re-ordered by their global batch offset, so the result lines
+    up with the slice `batch_iter(process_index=...)` fed on this process.
+    """
+    shards = sorted(arr.addressable_shards,
+                    key=lambda s: s.index[0].start or 0)
+    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
+
+def allreduce_sum(tree):
+    """Sum numpy counters across processes (no-op single-process).
+
+    Used to merge per-process metric accumulators (e.g.
+    `SegmentationMetric.total_inter/union/correct/label`) after a
+    process-sharded validation pass.
+    """
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    def red(x):
+        g = multihost_utils.process_allgather(np.asarray(x))
+        return g.sum(axis=0)
+
+    return jax.tree_util.tree_map(red, tree)
+
+
 def make_global_batch(mesh, per_host_batch):
     """Assemble a global, data-sharded array from this host's shard.
 

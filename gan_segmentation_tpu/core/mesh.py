@@ -75,6 +75,11 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _local_mesh_devices(mesh: Mesh):
+    return [d for d in mesh.devices.flat
+            if d.process_index == jax.process_index()]
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place every array in ``tree`` with its batch axis sharded over ``data``.
 
@@ -82,8 +87,34 @@ def shard_batch(mesh: Mesh, tree):
     reference's batch_size=1 decoder training, `seg_solver.py:107`) are
     replicated instead — jit then runs them replicated, which is correct,
     just not parallel.
+
+    Multi-host (``jax.process_count() > 1``): each process passes its own
+    **local shard** (leading dim = global batch / process_count, e.g. the
+    slice `batch_iter(process_index=...)` yields) and a global jax.Array
+    spanning all hosts is assembled; the leading dim must divide the local
+    device count (no replicated fallback — per-process data differs, so
+    silent replication would be wrong).
     """
-    n = mesh.size
+    if jax.process_count() > 1:
+        local = _local_mesh_devices(mesh)
+
+        def put_global(x):
+            x = np.asarray(x)
+            if x.ndim < 1 or x.shape[0] % len(local) != 0:
+                raise ValueError(
+                    f"multi-host shard_batch: local batch {x.shape} must "
+                    f"divide the {len(local)} local devices")
+            global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
+            per_dev = np.split(x, len(local), axis=0)
+            arrays = [jax.device_put(s, d) for s, d in zip(per_dev, local)]
+            return jax.make_array_from_single_device_arrays(
+                global_shape, data_sharding(mesh, x.ndim), arrays)
+
+        return jax.tree_util.tree_map(put_global, tree)
+
+    # batch divisibility is against the ``data`` axis extent (on a 2-D
+    # (data, space) mesh only that axis carries the batch)
+    n = mesh.shape[DATA_AXIS] if DATA_AXIS in mesh.axis_names else mesh.size
 
     def put(x):
         if np.ndim(x) >= 1 and np.shape(x)[0] % n == 0:
@@ -94,6 +125,24 @@ def shard_batch(mesh: Mesh, tree):
 
 
 def replicate(mesh: Mesh, tree):
+    """Fully replicate every array over the mesh.
+
+    Multi-host: every process must pass the SAME values (e.g. params built
+    from the same seed); the replicated global array is assembled from each
+    process's local copies.
+    """
+    if jax.process_count() > 1:
+        local = _local_mesh_devices(mesh)
+        sharding = replicated_sharding(mesh)
+
+        def put_global(x):
+            x = np.asarray(x)
+            arrays = [jax.device_put(x, d) for d in local]
+            return jax.make_array_from_single_device_arrays(
+                x.shape, sharding, arrays)
+
+        return jax.tree_util.tree_map(put_global, tree)
+
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 

@@ -210,6 +210,18 @@ class SegmentationTrainer:
             logger.info("compute dtype: %s (f32 master params + BN stats)",
                         jnp.dtype(self.compute_dtype).name)
 
+        # multi-host: args.batch_size is the GLOBAL batch (the reference's
+        # args.batch_size spans all GPUs the same way,
+        # `lib/core/segmentation.py:74-76`); each process feeds its
+        # batch_size/process_count slice via batch_iter(process_index=...)
+        # and shard_batch assembles the global array. Host-side writes
+        # (checkpoints, TensorBoard, image dumps) happen on process 0 only.
+        self._pc = jax.process_count()
+        self._pi = jax.process_index()
+        if self._pc > 1 and args.batch_size % self._pc:
+            raise ValueError(
+                f"multi-host training needs batch_size ({args.batch_size}) "
+                f"divisible by process_count ({self._pc})")
         self.batch_size = args.batch_size
         self.iters_per_epoch = len(trainset) // self.batch_size
         total_iters = self.iters_per_epoch * optimizer_params["nepochs"]
@@ -335,7 +347,7 @@ class SegmentationTrainer:
 
     # --------------------------------------------------------------- training
     def training(self, epoch: int, log_interval: int = 25):
-        if self.sw is None:
+        if self.sw is None and self._pi == 0:
             self.sw = _make_summary_writer(self.args)
         self.metric.reset()
         tic = time.time()
@@ -371,8 +383,9 @@ class SegmentationTrainer:
                                        self.current_lr(step), step)
 
         for i, (imgs, masks, _) in enumerate(batch_iter(
-                self.trainset, self.batch_size, shuffle=True,
-                seed=epoch)):
+                self.trainset, self.batch_size // self._pc, shuffle=True,
+                seed=epoch, process_index=self._pi,
+                process_count=self._pc)):
             global_step = self.iters_per_epoch * epoch + i
             last_step = global_step
             self._rng, rng = jax.random.split(self._rng)
@@ -423,18 +436,39 @@ class SegmentationTrainer:
     def validation(self, epoch: int):
         self.metric.reset()
         eval_fn = self._get_eval_fn()
-        for imgs, masks, _ in batch_iter(self.valset, self.args.test_batch_size,
-                                         shuffle=False, drop_last=False):
+        # multi-host: each process scores its disjoint shard of the val set
+        # (global arrays over the process-spanning mesh, local rows pulled
+        # back per process), then the per-process confusion counters merge
+        # with one cross-process all-reduce — the distributed generalization
+        # of the reference's single-host metric.update loop
+        # (`lib/core/segmentation.py:155-183`).
+        if self._pc > 1:
+            from ..core.distributed import local_shard
+            put = lambda x: shard_batch(self.mesh, x)  # noqa: E731
+            pull = local_shard
+        else:
+            put, pull = jnp.asarray, np.asarray
+        per_proc = max(1, self.args.test_batch_size // self._pc)
+        for imgs, masks, _ in batch_iter(self.valset, per_proc,
+                                         shuffle=False, drop_last=False,
+                                         process_index=self._pi,
+                                         process_count=self._pc):
             if self.with_depth:
                 # (image, depth) tuple inputs (`lib/core/segmentation.py:165-168`)
                 imgs, depth = imgs
                 pred = eval_fn(self.state.params, self.state.batch_stats,
-                               jnp.asarray(self._feed(imgs, 256)),
-                               jnp.asarray(depth, jnp.float32))
+                               put(self._feed(imgs, 256)),
+                               put(depth.astype(np.float32)))
             else:
                 pred = eval_fn(self.state.params, self.state.batch_stats,
-                               jnp.asarray(self._feed(imgs, 256)))
-            self.metric.update([masks], [np.asarray(pred)])
+                               put(self._feed(imgs, 256)))
+            self.metric.update([masks], [pull(pred)])
+        if self._pc > 1:
+            from ..core.distributed import allreduce_sum
+            m = self.metric
+            (m.total_inter, m.total_union, m.total_correct,
+             m.total_label) = allreduce_sum(
+                (m.total_inter, m.total_union, m.total_correct, m.total_label))
         names, values = self.metric.get()
         result = ", ".join(f"{n}: {v:4f}" for n, v in zip(names, values))
         logger.info("Epoch %d validation %s", epoch, result)
@@ -445,6 +479,8 @@ class SegmentationTrainer:
 
     # -------------------------------------------------------------- checkpoint
     def save_checkpoint(self, epoch: Optional[int] = None):
+        if self._pi != 0:  # host-side writes on the primary only
+            return
         path = Path(self.args.checkpoints_path)
         path.mkdir(parents=True, exist_ok=True)
         name = ("last_checkpoint.params" if epoch is None
@@ -538,8 +574,13 @@ class MultiEvalModel:
         # scales, window extraction, flip batch, scatter-add, and resizes run
         # on device, with a SINGLE D2H pull per image (the per-window host
         # loop cost ~8 sync roundtrips + MB-scale pulls per image over the
-        # slow tunnel)
-        self._programs = {}
+        # slow tunnel). LRU-bounded: each program costs a 30-90 s XLA
+        # compile, so heterogeneous-size eval sets are better bucketed to a
+        # few padded shapes — the cap keeps a pathological size stream from
+        # growing the cache without bound.
+        from collections import OrderedDict
+        self._programs = OrderedDict()
+        self._programs_cap = 16
 
     def _window_positions(self, ph: int, pw: int):
         crop = self.crop_size
@@ -624,7 +665,11 @@ class MultiEvalModel:
         h, w, c = image.shape
         key = (h, w, c)
         if key not in self._programs:
+            if len(self._programs) >= self._programs_cap:
+                self._programs.popitem(last=False)  # evict least-recent
             self._programs[key] = self._build_program(h, w, c)
+        else:
+            self._programs.move_to_end(key)
         return self._programs[key](self.params, self.batch_stats,
                                    jnp.asarray(image))
 
@@ -691,23 +736,32 @@ class SegmentationTester:
                                         crop_size=crop_size, flip=use_flip,
                                         scales=scales, prob_avg=use_prob_avg)
 
+    def _get_label_map(self):
+        """Cached jitted scores->label program (one trace per tester, not
+        per .test() call)."""
+        if getattr(self, "_label_map", None) is None:
+            threshold = self.metric.threshold
+            nclass = self.metric.num_classes
+
+            @jax.jit
+            def label_map(scores):
+                # exactly metrics._pred_label on softmax(scores): threshold
+                # P(class 1) in binary mode, else argmax — computed on device
+                # so only a uint8 (H, W) map crosses to host per image
+                probs = jax.nn.softmax(scores, axis=-1)
+                if threshold is not None and nclass <= 2:
+                    lab = (probs[..., 1] > threshold).astype(jnp.uint8)
+                else:
+                    lab = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
+                return lab
+
+            self._label_map = label_map
+        return self._label_map
+
     def test(self, testset):
         self.metric.reset()
         self.metric_orig.reset()
-        threshold = self.metric.threshold
-        nclass = self.metric.num_classes
-
-        @jax.jit
-        def label_map(scores):
-            # exactly metrics._pred_label on softmax(scores): threshold
-            # P(class 1) in binary mode, else argmax — computed on device so
-            # only a uint8 (H, W) map crosses to host per image
-            probs = jax.nn.softmax(scores, axis=-1)
-            if threshold is not None and nclass <= 2:
-                lab = (probs[..., 1] > threshold).astype(jnp.uint8)
-            else:
-                lab = jnp.argmax(probs, axis=-1).astype(jnp.uint8)
-            return lab
+        label_map = self._get_label_map()
 
         def drain(pending):
             mask, lab = pending

@@ -170,12 +170,21 @@ class SegSolver:
 
         Returns ``(feats_all, masks_all)`` device arrays — feats_all[i] is
         (S, h_i, w_i, c_i) f32, masks_all is (S, H, W) int8 — or None when
-        over the ``device_cache_gb`` budget, under multi-device data
-        parallelism (batches must be host-sharded there), or on any upload
+        over the ``device_cache_gb`` budget, under multi-HOST training
+        (each process holds only its shard of the data), or on any upload
         failure (falls back to per-step upload).
+
+        Multi-DEVICE data parallelism composes: the cache is replicated
+        over the mesh (it is a few GB at most) and the cached train step
+        re-shards each gathered batch onto the ``data`` axis, so DP keeps
+        its device-rate steps instead of silently falling back to the
+        per-step feature-pyramid upload.
         """
         cfg = self.cfg
-        if not getattr(cfg, "device_cache", True) or self.mesh.size != 1:
+        if not getattr(cfg, "device_cache", True) or jax.process_count() > 1:
+            return None
+        if getattr(dataset, "_output_idx", False):
+            # (idx, img, mask, features) layout would mis-stack below
             return None
         try:
             items = [dataset.get_item(i) for i in range(len(dataset))]
@@ -191,8 +200,9 @@ class SegSolver:
                 log.info("device cache skipped: %.2f GB > %.2f GB budget",
                          total / 1024 ** 3, budget / 1024 ** 3)
                 return None
-            feats_dev = [jnp.asarray(f) for f in feats]
-            masks_dev = jnp.asarray(masks)
+            # replicated over the mesh so the cached step composes with DP
+            feats_dev = [replicate(self.mesh, f) for f in feats]
+            masks_dev = replicate(self.mesh, masks)
             jax.block_until_ready(masks_dev)
             log.info("device cache: %d samples, %.2f GB resident in HBM",
                      len(items), total / 1024 ** 3)
@@ -202,8 +212,16 @@ class SegSolver:
             return None
 
     def _build_train_step_cached(self, tx, batch_size: int):
-        """Train step reading its batch out of the HBM-resident dataset."""
+        """Train step reading its batch out of the HBM-resident dataset.
+
+        Under multi-device DP the gathered batch is re-sharded onto the
+        ``data`` axis (the cache itself is replicated), so the step computes
+        exactly like the host-sharded path — same global-batch BN, same
+        gradient all-reduce — without the per-step feature upload.
+        """
         model = self.model
+        mesh = self.mesh
+        shard_gathered = mesh.size > 1 and batch_size % mesh.size == 0
 
         def train_step(state: SolverState, feats_all, masks_all, idx, rng):
             features = [
@@ -214,6 +232,12 @@ class SegSolver:
             mask = jnp.stack([jax.lax.dynamic_index_in_dim(masks_all, idx[b],
                                                            0, keepdims=False)
                               for b in range(batch_size)]).astype(jnp.int32)
+            if shard_gathered:
+                from ..core.mesh import data_sharding
+                features = [jax.lax.with_sharding_constraint(
+                    f, data_sharding(mesh, f.ndim)) for f in features]
+                mask = jax.lax.with_sharding_constraint(
+                    mask, data_sharding(mesh, mask.ndim))
 
             def loss_fn(params):
                 logits, updates = model.apply(
@@ -269,6 +293,19 @@ class SegSolver:
         opt_state = jax.jit(tx.init)(self.params)
         state = SolverState(self.params, self.batch_stats, opt_state,
                             jnp.zeros((), jnp.int32))
+        # multi-host: cfg.train_batch_size is the GLOBAL batch; every
+        # process loads its disjoint slice and the step runs SPMD over the
+        # process-spanning mesh (gradient all-reduce rides ICI/DCN). Train
+        # state is replicated globally (identical on every process: same
+        # seed -> same init), host-side writes happen on process 0 only.
+        pc, pi = jax.process_count(), jax.process_index()
+        if pc > 1:
+            if cfg.train_batch_size % pc:
+                raise ValueError(
+                    f"multi-host training needs train_batch_size "
+                    f"({cfg.train_batch_size}) divisible by process_count "
+                    f"({pc})")
+            state = replicate(self.mesh, jax.device_get(state))
         cached = self._try_device_cache(dataset)
         if cached is not None:
             feats_all, masks_all = cached
@@ -285,13 +322,24 @@ class SegSolver:
             for s in range(0, len(order) - (b - 1), b):
                 yield order[s:s + b]
 
+        def load_process_slice(idx):
+            """Multi-host batch: this process's slice of the global index
+            batch, loaded from disk and assembled into global arrays."""
+            lb = len(idx) // pc
+            items = [dataset.get_item(i) for i in idx[pi * lb:(pi + 1) * lb]]
+            feats = [np.stack([it[2][k] for it in items]).astype(np.float32)
+                     for k in range(len(items[0][2]))]
+            mask = np.stack([it[1] for it in items]).astype(np.int32)
+            return (shard_batch(self.mesh, feats),
+                    shard_batch(self.mesh, mask))
+
         display = cfg.train_display_iters
         for epoch in range(cfg.train_epochs):
             tic = time.time()
             speed_tic = time.time()
             losses, accs = [], []
             nbatch = 0
-            if cached is not None:
+            if cached is not None or pc > 1:
                 batch_source = epoch_batches(epoch)
             else:
                 batch_source = dataset.batches(cfg.train_batch_size,
@@ -303,6 +351,9 @@ class SegSolver:
                     state, loss, acc = train_step_cached(
                         state, feats_all, masks_all,
                         jnp.asarray(batch, jnp.int32), step_rng)
+                elif pc > 1:
+                    feats, mask = load_process_slice(batch)
+                    state, loss, acc = train_step(state, feats, mask, step_rng)
                 else:
                     feats = shard_batch(self.mesh, batch["features"])
                     mask = shard_batch(self.mesh, batch["mask"])
@@ -331,7 +382,8 @@ class SegSolver:
         self.batch_stats = state.batch_stats
         self._predict_fn = None
         self.is_trained = True
-        self.save()
+        if pc == 1 or pi == 0:  # host-side writes on the primary only
+            self.save()
         return []
 
     # --------------------------------------------------------------- predict

@@ -1,0 +1,68 @@
+"""Worker process for the REAL two-process `jax.distributed` test.
+
+Launched twice by `tests/test_multiprocess.py` (process_id 0 and 1), each
+with 4 virtual CPU devices, forming one 8-device global mesh over gloo
+collectives. Each process loads its own disjoint slice of every global
+batch from disk (`SegSolver.fit` multi-host path), the train step runs
+SPMD over the process-spanning mesh, and process 0 dumps the final params
+for the parent to compare against a single-process 8-device run.
+
+This generalizes the reference's single-host kvstore gradient aggregation
+(`deeplabv3plus/lib/core/segmentation.py:74-76`) to multi-host.
+
+Usage: python mp_worker.py <port> <process_id> <data_dir> <out_dir>
+"""
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    port, pid, data_dir, out_dir = sys.argv[1:5]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from gan_segmentation_tpu.core.distributed import initialize, is_primary
+
+    active = initialize(f"localhost:{port}", num_processes=2,
+                        process_id=int(pid))
+    assert active, "jax.distributed did not come up multi-process"
+    assert jax.process_count() == 2
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    from gan_segmentation_tpu.core.config import SolverConfig
+    from gan_segmentation_tpu.train.solver import SegSolver
+
+    cfg = SolverConfig(max_res_log2=5)
+    cfg.train_epochs = 2
+    cfg.train_batch_size = 8  # GLOBAL batch; 4 per process
+    # SGD so the comparison tests the gradients (incl. the cross-process
+    # all-reduce) directly: Adam's g/sqrt(v) amplifies gloo-vs-XLA
+    # reduction-order noise on near-zero grads into sign flips
+    cfg.optimizer = "sgd"
+    cfg.momentum = 0.9
+    solver = SegSolver(5, data_dir, os.path.join(out_dir, "ckpt"),
+                       cfg=cfg, keep_weights=True, seed=7)
+    solver.fit()
+
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("fit-done")
+
+    if is_primary():
+        from flax import serialization
+        with open(os.path.join(out_dir, "params.msgpack"), "wb") as fp:
+            fp.write(serialization.msgpack_serialize(
+                jax.device_get(solver.params)))
+    multihost_utils.sync_global_devices("dump-done")
+    jax.distributed.shutdown()
+    print(f"worker {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

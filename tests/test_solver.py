@@ -147,20 +147,27 @@ class TestDeviceCache:
     selection via on-device dynamic-slice must train identically to the
     per-step upload path (same seed -> same order -> same numbers)."""
 
-    def test_cached_fit_matches_uncached(self, annotation_dir, tmp_path):
+    @pytest.mark.parametrize("n_dev,batch", [(1, 2), (2, 2), (8, 2)])
+    def test_cached_fit_matches_uncached(self, annotation_dir, tmp_path,
+                                         n_dev, batch):
+        """Cache composes with data parallelism: the replicated HBM cache +
+        re-sharded gathered batch (n_dev=2, batch divides mesh) trains
+        bit-identically to the host-sharded upload path; n_dev=8/batch=2
+        exercises the replicated-compute fallback on the full mesh."""
         import jax
         from gan_segmentation_tpu.core.mesh import make_mesh
 
-        mesh1 = make_mesh(jax.devices()[:1])  # cache requires mesh.size == 1
+        mesh = make_mesh(jax.devices()[:n_dev])
 
         def run(device_cache: bool, sub: str):
             cfg = small_cfg()
             cfg.train_epochs = 3
+            cfg.train_batch_size = batch
             cfg.device_cache = device_cache
             d = tmp_path / sub
             d.mkdir()
             s = SegSolver(5, str(annotation_dir), str(d), cfg=cfg,
-                          mesh=mesh1, keep_weights=True, seed=7)
+                          mesh=mesh, keep_weights=True, seed=7)
             s.fit()
             return s
 
