@@ -28,7 +28,7 @@ from gan_segmentation_tpu.models.stylegan import StyleGanGenerator, init_generat
 
 
 def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
-                s2d: bool = True, n_block_stages: int = 3):
+                s2d: bool = True, n_block_stages: int = 3, mesh=None):
     """Returns ``(fused, gen_params, dec_prepared)`` with
     ``fused(gen_params, dec_prepared, z, rng) -> (uint8 img, uint8 mask)``.
 
@@ -36,6 +36,10 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     (`ops/s2d_decoder.prepare_s2d`) when ``s2d`` else the raw variables —
     either way it is a pytree argument, so the per-step program contains no
     parameter folding.
+
+    ``mesh``: optional (data, space) mesh — activations are H-sharded over
+    ``space`` (spatial parallelism; forces the standard decoder tail, see
+    FusedPipeline). Params are replicated over the mesh by the caller.
     """
     gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
@@ -49,6 +53,10 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
         apply_s2d_prepared, class_mask_s2d, prepare_s2d)
     from gan_segmentation_tpu.train.generator import class_mask
 
+    spatial = mesh is not None
+    if spatial:
+        s2d = False  # block re-tiling fights the H-shard; standard tail
+
     if s2d:
         dprep = jax.jit(
             lambda v: prepare_s2d(dec, v, n_block_stages))(dvars)
@@ -58,6 +66,9 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 
     def fused(gp, dp, z, rng):
         rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
+        if spatial:
+            from gan_segmentation_tpu.core.mesh import constrain_spatial
+            feats = constrain_spatial(feats, mesh)
         if s2d:
             # space-to-depth tail: the narrow high-res convs run in block
             # layout at full MXU lane utilization (ops/s2d_decoder.py)
@@ -73,8 +84,19 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 
 
 def measure(batch: int, iters: int, max_res_log2: int = 10,
-            warmup: int = 2) -> float:
-    fused_raw, gp, dp = build_fused(max_res_log2)
+            warmup: int = 2, spatial: int = 1, s2d: bool = True,
+            n_block_stages: int = 3) -> float:
+    mesh = None
+    if spatial > 1:
+        from gan_segmentation_tpu.core.mesh import make_mesh_2d, replicate
+        ndev = len(jax.devices())
+        assert ndev % spatial == 0, (ndev, spatial)
+        mesh = make_mesh_2d(ndev // spatial, spatial)
+    fused_raw, gp, dp = build_fused(max_res_log2, s2d=s2d,
+                                    n_block_stages=n_block_stages, mesh=mesh)
+    if mesh is not None:
+        gp = replicate(mesh, gp)
+        dp = replicate(mesh, jax.device_get(dp))
 
     # measurement wrapper: reduce outputs to ONE scalar on device and pull
     # it each iteration. On the axon remote backend block_until_ready is not
@@ -115,9 +137,14 @@ def main():
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--max-res-log2", type=int, default=10)
+    ap.add_argument(
+        "--spatial", type=int, default=1, metavar="N",
+        help="H-shard every image over N devices on a (data, space) mesh "
+             "(spatial parallelism); N must divide the device count")
     args = ap.parse_args()
 
-    value = measure(args.batch, args.iters, args.max_res_log2)
+    value = measure(args.batch, args.iters, args.max_res_log2,
+                    spatial=args.spatial)
 
     baseline_file = join(dirname(__file__) or ".", "bench_baseline.json")
     vs_baseline = None

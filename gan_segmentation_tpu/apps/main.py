@@ -34,6 +34,11 @@ def parse_args(argv=None):
                         choices=("annotation", "train", "evaluate", "generate"),
                         default="annotation")
     parser.add_argument("--config", default="config.yml")
+    parser.add_argument(
+        "--spatial", type=int, default=1, metavar="N",
+        help="generate: shard each image's height over N devices on a "
+             "(data, space) mesh (spatial parallelism; devices/N batch "
+             "groups run data-parallel). N must divide the device count.")
     return parser.parse_args(argv)
 
 
@@ -58,7 +63,7 @@ def run_evaluate(cfg):
     print(", ".join(f"{name}: {value:.4f}" for name, value in result))
 
 
-def run_generate(cfg):
+def run_generate(cfg, spatial: int = 1):
     import cv2
     solver = build_solver(cfg, keep_weights=False)
     if not solver.is_trained:
@@ -69,7 +74,18 @@ def run_generate(cfg):
     netG = ImageGenerator(gan=cfg.GAN, gan_dir=cfg.GAN_DIR,
                           batch_size=batch_size,
                           max_res_log2=cfg.MAX_RES_LOG2)
-    pipeline = FusedPipeline(netG, solver)
+    mesh = None
+    if spatial > 1:
+        import jax
+        from ..core.mesh import make_mesh_2d
+        ndev = len(jax.devices())
+        if ndev % spatial:
+            raise SystemExit(f"--spatial {spatial} must divide the device "
+                             f"count ({ndev})")
+        mesh = make_mesh_2d(ndev // spatial, spatial)
+        log.info("spatial parallelism: (%d data, %d space) mesh",
+                 ndev // spatial, spatial)
+    pipeline = FusedPipeline(netG, solver, mesh=mesh)
 
     dst_dir = join(cfg.BASE_DIR, "dataset", "train_generated")
     if not isdir(dst_dir):
@@ -118,7 +134,7 @@ def main(argv=None):
     elif args.action == "evaluate":
         run_evaluate(cfg)
     elif args.action == "generate":
-        run_generate(cfg)
+        run_generate(cfg, spatial=args.spatial)
     else:
         run_annotation(cfg)
 

@@ -119,20 +119,45 @@ class ImageGenerator:
 
 
 class FusedPipeline:
-    """z -> (image uint8, mask uint8) in one jit program (SURVEY §3.2)."""
+    """z -> (image uint8, mask uint8) in one jit program (SURVEY §3.2).
+
+    ``mesh``: optional 2-D ``(data, space)`` mesh (`core.mesh.make_mesh_2d`)
+    for spatial parallelism — the TPU-native extension the reference can't
+    express (SURVEY §5.7): each image's feature pyramid and decoder
+    activations are H-sharded over the ``space`` axis so one sample spans
+    several chips, with XLA inserting the conv halo exchanges. Use when a
+    single image's working set exceeds one chip's HBM (larger-than-1024²
+    synthesis) or to cut per-sample latency; for throughput, pure data
+    parallelism (the default 1-D mesh) is optimal.
+    """
 
     def __init__(self, image_generator: ImageGenerator, solver,
                  inference_dtype=jnp.bfloat16, s2d: bool = True,
-                 n_block_stages: int = 3):
+                 n_block_stages: int = 3, mesh=None):
         self.gen = image_generator
         self.solver = solver
+        from ..core.mesh import SPACE_AXIS, constrain_spatial, replicate
+        self.mesh = mesh
+        spatial = (mesh is not None and SPACE_AXIS in mesh.axis_names
+                   and mesh.shape[SPACE_AXIS] > 1)
+        if mesh is not None:
+            # params live replicated over the mesh; jit then compiles one
+            # SPMD program spanning all its devices
+            self._gen_params = replicate(mesh, image_generator.params)
+        else:
+            self._gen_params = image_generator.params
         gen_model = image_generator.model
         # inference copy of the decoder in bf16: params stay f32, BN stats
         # are f32 inside flax; activations at 1024^2 halve their HBM traffic
         dec_model = (solver.model.clone(compute_dtype=inference_dtype)
                      if inference_dtype is not None else solver.model)
         nclass = int(dec_model.features_cfg[-1])
-        use_s2d = s2d and len(dec_model.in_channels) - dec_model.start_res >= 2
+        # the s2d tail re-tiles H x W into block layout, which would fight
+        # the H-shard (every reshape across the sharded dim forces a
+        # reshard); spatial mode uses the standard decoder path, whose
+        # convs partition cleanly with halo exchanges
+        use_s2d = (s2d and not spatial
+                   and len(dec_model.in_channels) - dec_model.start_res >= 2)
 
         from ..ops.s2d_decoder import (apply_s2d_prepared, class_mask_s2d,
                                        prepare_s2d)
@@ -156,6 +181,10 @@ class FusedPipeline:
         def fused(gen_params, dec_prepared, z, noise_rng):
             rgb, feats = gen_model.apply({"params": gen_params}, z,
                                          rngs={"noise": noise_rng})
+            if spatial:
+                # H-shard the pyramid over the ``space`` axis; XLA propagates
+                # the layout into the decoder convs and adds halo exchanges
+                feats = constrain_spatial(feats, mesh)
             if use_s2d:
                 # narrow high-res convs run in space-to-depth block layout
                 # (ops/s2d_decoder.py) — numerically equivalent, full lanes
@@ -164,6 +193,8 @@ class FusedPipeline:
                 mask = class_mask_s2d(logits, nclass)
             else:
                 logits = dec_model.apply(dec_prepared, feats, False)
+                if spatial:
+                    logits = constrain_spatial([logits], mesh)[0]
                 mask = class_mask(logits)
             if pack_masks:
                 n, h, w = mask.shape
@@ -182,6 +213,9 @@ class FusedPipeline:
         if self._prep_cache is None or self._prep_cache[0] is not p \
                 or self._prep_cache[1] is not s:
             prep = self._prepare({"params": p, "batch_stats": s})
+            if self.mesh is not None:
+                from ..core.mesh import replicate
+                prep = replicate(self.mesh, jax.device_get(prep))
             self._prep_cache = (p, s, prep)
         return self._prep_cache[2]
 
@@ -192,7 +226,10 @@ class FusedPipeline:
         b = batch_size or self.gen.batch_size
         zk, nk = self.gen._next_rngs()
         z = jax.random.normal(zk, (b, self.gen.cfg.latent_size), jnp.float32)
-        return self._fused(self.gen.params, self._prepared(), z, nk)
+        if self.mesh is not None:
+            from ..core.mesh import shard_batch
+            z = shard_batch(self.mesh, z)  # batch over ``data`` when it divides
+        return self._fused(self._gen_params, self._prepared(), z, nk)
 
     def generate_pairs(self, n: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield n (uint8 image HWC, uint8 mask HW) pairs.
