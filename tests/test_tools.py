@@ -1,0 +1,25 @@
+"""Tooling smoke tests: the retune sweep harness must run a miniature
+sweep in-suite so first contact with real silicon is one command."""
+
+import sys
+from os.path import dirname, join
+
+sys.path.insert(0, join(dirname(__file__), "..", "tools"))
+
+
+def test_retune_quick_sweep(capsys):
+    import retune
+
+    results = retune.main(["--quick"])
+    ok = [r for r in results if r["ok"]]
+    # both s2d depths, both batches, plus the s2d-off baselines
+    assert len(results) == 6 and len(ok) == 6, results
+    assert all(r["samples_per_sec"] > 0 for r in ok)
+    out = capsys.readouterr().out
+    assert "samples/sec/chip" in out and "| batch |" in out
+    # every emitted line before the table is valid JSON
+    import json
+    json_lines = [l for l in out.splitlines() if l.startswith("{")]
+    assert len(json_lines) == 6
+    for l in json_lines:
+        json.loads(l)

@@ -1,0 +1,101 @@
+#!/usr/bin/env python3
+"""Re-tune harness for first contact with new silicon (VERDICT r2 #9).
+
+The shipped tuning (batch 128, s2d tail depth 3, Pallas-vs-XLA verdicts in
+`ops/pallas/*`) is specific to the axon-virtualized v5e this repo was built
+against (~10-20% of nominal; BASELINE.md "measured envelope"). On real
+hardware, run this once: it sweeps batch x s2d-tail-depth x s2d-on/off over
+the fused z->(image,mask) pipeline and emits both JSON lines and the
+BASELINE.md table block, so re-tuning is one command.
+
+    python tools/retune.py                     # full sweep at 1024^2
+    python tools/retune.py --quick             # miniature sweep at res 64
+    python tools/retune.py --batches 32,64,128 --tails 2,3,4 --iters 4
+
+Each configuration that fails to compile (e.g. the remote compile helper's
+batch ceiling) is recorded as {"ok": false} and the sweep continues.
+"""
+
+import argparse
+import json
+import sys
+from os.path import dirname, join
+
+sys.path.insert(0, join(dirname(__file__), ".."))
+
+
+def sweep(batches, tails, max_res_log2, iters, include_no_s2d=True,
+          out=sys.stdout):
+    from bench import measure
+
+    results = []
+    configs = [(b, t, True) for b in batches for t in tails]
+    if include_no_s2d:
+        configs += [(b, 0, False) for b in batches]
+    for batch, tail, s2d in configs:
+        rec = {"batch": batch, "s2d": s2d,
+               "n_block_stages": tail if s2d else None,
+               "max_res_log2": max_res_log2}
+        try:
+            v = measure(batch, iters, max_res_log2, s2d=s2d,
+                        n_block_stages=tail if s2d else 3)
+            rec.update(ok=True, samples_per_sec=round(v, 2))
+        except Exception as exc:  # compile ceiling, OOM, ...
+            rec.update(ok=False, error=f"{type(exc).__name__}: {exc}"[:200])
+        results.append(rec)
+        print(json.dumps(rec), file=out, flush=True)
+    return results
+
+
+def baseline_table(results) -> str:
+    """The BASELINE.md block: best config first, markdown table after."""
+    ok = [r for r in results if r["ok"]]
+    lines = ["| batch | s2d | tail | samples/sec/chip |",
+             "|---|---|---|---|"]
+    for r in sorted(ok, key=lambda r: -r["samples_per_sec"]):
+        lines.append(f"| {r['batch']} | {'yes' if r['s2d'] else 'no'} | "
+                     f"{r['n_block_stages'] or '-'} | "
+                     f"{r['samples_per_sec']} |")
+    for r in results:
+        if not r["ok"]:
+            lines.append(f"| {r['batch']} | {'yes' if r['s2d'] else 'no'} | "
+                         f"{r['n_block_stages'] or '-'} | FAILED |")
+    if ok:
+        best = max(ok, key=lambda r: r["samples_per_sec"])
+        head = (f"Best: batch={best['batch']} s2d={best['s2d']} "
+                f"tail={best['n_block_stages']} -> "
+                f"{best['samples_per_sec']} samples/sec/chip "
+                f"@{2 ** best['max_res_log2']}px\n\n")
+    else:
+        head = "No configuration compiled.\n\n"
+    return head + "\n".join(lines)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="32,64,96,128,160",
+                    help="comma-separated batch sizes")
+    ap.add_argument("--tails", default="2,3,4",
+                    help="comma-separated s2d n_block_stages")
+    ap.add_argument("--max-res-log2", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--no-s2d-off", action="store_true",
+                    help="skip the s2d=off baseline configs")
+    ap.add_argument("--quick", action="store_true",
+                    help="miniature sweep (res 64, batches 2,4, tails 2,3)")
+    a = ap.parse_args(argv)
+    if a.quick:
+        batches, tails, res, iters = [2, 4], [2, 3], 6, 2
+    else:
+        batches = [int(b) for b in a.batches.split(",")]
+        tails = [int(t) for t in a.tails.split(",")]
+        res, iters = a.max_res_log2, a.iters
+    results = sweep(batches, tails, res, iters,
+                    include_no_s2d=not a.no_s2d_off)
+    print()
+    print(baseline_table(results))
+    return results
+
+
+if __name__ == "__main__":
+    main()
