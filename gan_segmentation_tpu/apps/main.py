@@ -70,10 +70,20 @@ def run_generate(cfg, spatial: int = 1):
         print("train Decoder first!")
         sys.exit(-1)
 
+    # multi-host: generation is embarrassingly parallel — each process
+    # draws its own z stream (seed = process_index) and writes a disjoint
+    # contiguous slice of the global index range
+    import jax
+    pc, pi = jax.process_count(), jax.process_index()
+    n_total = cfg.GENERATE_NUM
+    share = (n_total + pc - 1) // pc
+    start = pi * share
+    n_local = max(0, min(share, n_total - start))
+
     batch_size = cfg.GAN_BATCH_SIZE_PER_GPU * max(1, len(cfg.GAN_GPU_IDS))
     netG = ImageGenerator(gan=cfg.GAN, gan_dir=cfg.GAN_DIR,
                           batch_size=batch_size,
-                          max_res_log2=cfg.MAX_RES_LOG2)
+                          max_res_log2=cfg.MAX_RES_LOG2, seed=pi)
     mesh = None
     if spatial > 1:
         import jax
@@ -91,20 +101,23 @@ def run_generate(cfg, spatial: int = 1):
     if not isdir(dst_dir):
         makedirs(dst_dir)
 
-    n = cfg.GENERATE_NUM
-    try:
-        from tqdm import tqdm
-        progress = tqdm(total=n)
-    except ImportError:  # pragma: no cover
-        progress = None
-    for index, (img, mask) in enumerate(pipeline.generate_pairs(n)):
-        cv2.imwrite(join(dst_dir, f"img_{index:06d}.jpg"), img[:, :, ::-1])
-        cv2.imwrite(join(dst_dir, f"mask_{index:06d}.png"), mask)
+    progress = None
+    if pi == 0:
+        try:
+            from tqdm import tqdm
+            progress = tqdm(total=n_local)
+        except ImportError:  # pragma: no cover
+            pass
+    for index, (img, mask) in enumerate(pipeline.generate_pairs(n_local)):
+        cv2.imwrite(join(dst_dir, f"img_{start + index:06d}.jpg"),
+                    img[:, :, ::-1])
+        cv2.imwrite(join(dst_dir, f"mask_{start + index:06d}.png"), mask)
         if progress is not None:
             progress.update()
     if progress is not None:
         progress.close()
-    log.info("wrote %d (image, mask) pairs to %s", n, dst_dir)
+    log.info("wrote %d (image, mask) pairs to %s (indices %d..%d)",
+             n_local, dst_dir, start, start + n_local - 1)
 
 
 def run_annotation(cfg):

@@ -75,8 +75,10 @@ def depthwise_conv2d(x, w, b=None, *, stride: _IntOrPair = 1, padding=0,
 # ~1-4% of MXU peak when channel counts are far below the 128-lane width.
 # XLA-level im2col/row-concat reformulations were measured SLOWER (the
 # materialized 3x/9x input copies cost more HBM traffic than the bad conv
-# kernel wastes in compute). The winning approach keeps the taps in VMEM —
-# see `ops/pallas/small_conv.py`.
+# kernel wastes in compute). A direct Pallas kernel keeping the taps in
+# VMEM also lost on this chip (archived with its measurements in
+# experiments/pallas_archive/); the shipping answer is the space-to-depth
+# layout reformulation in `ops/s2d_decoder.py`.
 
 
 def conv_transpose2d_subpixel(x, w, b=None):

@@ -376,6 +376,13 @@ class SegSolver:
                          float(jnp.mean(jnp.stack(losses))))
             log.info("Epoch[%d] Time cost=%.3f", epoch + 1, time.time() - tic)
             if epoch_end_callback is not None:
+                # publish the live state first: the train step DONATES its
+                # input state, so the pre-fit self.params arrays are deleted
+                # after step 1 — a callback that predicts (the annotator's
+                # Retrain live preview, `seg_annotator.py:278-289`) must see
+                # the current epoch's weights, not dangling buffers.
+                self.params = state.params
+                self.batch_stats = state.batch_stats
                 epoch_end_callback()
 
         self.params = state.params
