@@ -600,8 +600,9 @@ class MultiEvalModel:
         fill[:len(pv)] = pv[:c]
         return fill
 
-    def _build_program(self, h: int, w: int, c: int):
-        """Jitted (params, batch_stats, image) -> summed (h, w, C) scores."""
+    def _build_run(self, h: int, w: int, c: int):
+        """(params, batch_stats, image) -> summed (h, w, C) scores (traceable;
+        jitted per shape, vmapped for the batched path)."""
         crop = self.crop_size
         nclass = self.nclass
         fill = jnp.asarray(self._pad_fill(c))
@@ -656,22 +657,42 @@ class MultiEvalModel:
                 scores = scores + bilinear_resize(out[None], h, w)[0]
             return scores
 
-        return jax.jit(run)
+        return run
+
+    def _program(self, b: int, h: int, w: int, c: int):
+        key = (b, h, w, c)
+        if key not in self._programs:
+            if len(self._programs) >= self._programs_cap:
+                self._programs.popitem(last=False)  # evict least-recent
+            run = self._build_run(h, w, c)
+            # the batched program vmaps the whole multi-scale protocol: the
+            # B images' windows ride the model as one bigger batch, so the
+            # per-image fixed costs (dispatch, small resizes, scatter-adds)
+            # amortize and the MXU sees fuller matmuls — the b>1 analog of
+            # the window batch (VERDICT r2 #8)
+            self._programs[key] = jax.jit(
+                jax.vmap(run, in_axes=(None, None, 0)))
+        else:
+            self._programs.move_to_end(key)
+        return self._programs[key]
 
     def device_scores(self, image: np.ndarray):
         """Summed (H, W, nclass) scores as a DEVICE array (no D2H pull) —
         callers that post-process on device (`SegmentationTester.test`)
         avoid the MB-scale per-image transfer over the host link."""
         h, w, c = image.shape
-        key = (h, w, c)
-        if key not in self._programs:
-            if len(self._programs) >= self._programs_cap:
-                self._programs.popitem(last=False)  # evict least-recent
-            self._programs[key] = self._build_program(h, w, c)
-        else:
-            self._programs.move_to_end(key)
-        return self._programs[key](self.params, self.batch_stats,
-                                   jnp.asarray(image))
+        return self._program(1, h, w, c)(
+            self.params, self.batch_stats, jnp.asarray(image)[None])[0]
+
+    def device_scores_batch(self, images):
+        """B same-shape images -> (B, H, W, nclass) device scores in ONE
+        program invocation (batched multi-scale+flip protocol)."""
+        h, w, c = images[0].shape
+        assert all(im.shape == (h, w, c) for im in images), \
+            [im.shape for im in images]
+        return self._program(len(images), h, w, c)(
+            self.params, self.batch_stats, jnp.stack(
+                [jnp.asarray(im) for im in images]))
 
     def __call__(self, image: np.ndarray) -> np.ndarray:
         """image: (H, W, C) float32 normalized -> summed scores (H, W, nclass)."""
@@ -758,28 +779,53 @@ class SegmentationTester:
             self._label_map = label_map
         return self._label_map
 
-    def test(self, testset):
+    def test(self, testset, batch_size: Optional[int] = None):
+        """Full-set multi-scale evaluation (`lib/core/segmentation.py:207-253`).
+
+        Images are bucketed by shape into batches of up to ``batch_size``
+        (default: args.test_batch_size) and scored with ONE fused program
+        per batch (`MultiEvalModel.device_scores_batch`) — the eval path is
+        compute-bound on this link, so batching the whole protocol fills
+        the MXU and amortizes per-image dispatch. A 1-deep pipeline keeps
+        batch i+1 in flight while batch i's uint8 label maps drain to host.
+        """
         self.metric.reset()
         self.metric_orig.reset()
         label_map = self._get_label_map()
+        bs = batch_size or max(
+            1, int(getattr(self.args, "test_batch_size", 1) or 1))
 
         def drain(pending):
-            mask, lab = pending
-            pred = np.asarray(lab).astype(np.int64)
-            # metrics accept (N, H, W) integer label maps directly
-            # (`_pred_label` passes ndim-3 inputs through)
-            self.metric.update([mask[None]], [pred[None]])
-            self.metric_orig.update([mask[None]], [pred[None]])
+            masks, labs = pending
+            pred = np.asarray(labs).astype(np.int64)  # (B, H, W) uint8 pull
+            for m, p in zip(masks, pred):
+                # metrics accept (N, H, W) integer label maps directly
+                # (`_pred_label` passes ndim-3 inputs through)
+                self.metric.update([m[None]], [p[None]])
+                self.metric_orig.update([m[None]], [p[None]])
 
-        pending = None  # 1-deep pipeline: image i+1 dispatches before i syncs
-        for i in range(len(testset)):
-            item = testset[i]
-            img, mask = item[0], item[1]
-            scores = self.evaluator.device_scores(np.asarray(img, np.float32))
-            lab = label_map(scores)
+        pending = None
+        imgs, masks = [], []
+
+        def flush():
+            nonlocal pending, imgs, masks
+            if not imgs:
+                return
+            scores = self.evaluator.device_scores_batch(imgs)
+            labs = label_map(scores)
             if pending is not None:
                 drain(pending)
-            pending = (mask, lab)
+            pending = (masks, labs)
+            imgs, masks = [], []
+
+        for i in range(len(testset)):
+            item = testset[i]
+            img = np.asarray(item[0], np.float32)
+            if imgs and (img.shape != imgs[0].shape or len(imgs) == bs):
+                flush()
+            imgs.append(img)
+            masks.append(item[1])
+        flush()
         if pending is not None:
             drain(pending)
         logger.info("----- new metric ------")

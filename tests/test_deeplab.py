@@ -25,6 +25,7 @@ from gan_segmentation_tpu.train.deeplab_trainer import (
 
 
 class TestBackbone:
+    @pytest.mark.slow
     def test_output_stride_8(self):
         m = resnet50_v1s(dilated=True)
         x = jnp.zeros((1, 64, 64, 3))
@@ -140,6 +141,7 @@ def tiny_args(tmp_path, mesh):
         mesh=mesh, seed=0, vizualization=False)
 
 
+@pytest.mark.slow
 class TestTrainerEndToEnd:
     def test_train_validate_test(self, tiny_exp, tmp_path):
         mesh = make_mesh()

@@ -1,6 +1,7 @@
 """Multi-host helpers on the virtual mesh (single process)."""
 
 import numpy as np
+import pytest
 
 from gan_segmentation_tpu.core.distributed import make_global_batch
 from gan_segmentation_tpu.core.mesh import make_mesh
@@ -15,6 +16,7 @@ def test_make_global_batch_single_process():
     assert len(arr.sharding.device_set) == mesh.size
 
 
+@pytest.mark.slow
 def test_solver_bf16_dtype(tmp_path):
     import sys
     sys.path.insert(0, "tests")

@@ -16,6 +16,8 @@ import pytest
 
 from test_deeplab import make_rgb_dataset
 
+pytestmark = pytest.mark.slow  # training/e2e: minutes on the 1-core host
+
 REPO = Path(__file__).resolve().parents[1]
 EXP = REPO / "experiments" / "rgb_segmentation" / \
     "01_hair_deeplabv3_ffhq_pretrain_gan"

@@ -16,6 +16,8 @@ sys.path.insert(0, join(dirname(__file__), "..", "tools"))
 import first_contact
 from test_mx_params import make_reference_named_params, write_mx_file
 
+pytestmark = pytest.mark.slow  # training/e2e: minutes on the 1-core host
+
 
 @pytest.fixture(scope="module")
 def fixtures_dir(tmp_path_factory):

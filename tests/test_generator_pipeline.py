@@ -42,6 +42,7 @@ class TestImageGenerator:
         assert not np.array_equal(a, b)
 
 
+@pytest.mark.slow
 class TestFusedPipeline:
     def test_generate_pairs(self, trained_setup):
         _, _, solver = trained_setup
@@ -81,6 +82,7 @@ class TestFusedPipeline:
             assert np.mean(ma != mb) < 0.001
 
 
+@pytest.mark.slow
 class TestCLI:
     def test_train_evaluate_generate(self, tmp_path, monkeypatch):
         from gan_segmentation_tpu.apps.main import main

@@ -4,6 +4,7 @@ and global-batch (sync) BN fall out of jit + NamedSharding."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from gan_segmentation_tpu.core.config import SolverConfig
@@ -42,6 +43,7 @@ def make_train_step(model, tx):
     return jax.jit(train_step)
 
 
+@pytest.mark.slow
 def test_eight_way_dp_matches_single_device():
     mesh = make_mesh()
     assert mesh.size == 8

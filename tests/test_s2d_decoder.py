@@ -13,6 +13,8 @@ from gan_segmentation_tpu.ops.s2d_decoder import (
 )
 from gan_segmentation_tpu.train.generator import class_mask
 
+pytestmark = pytest.mark.slow  # training/e2e: minutes on the 1-core host
+
 
 def test_s2d_roundtrip():
     x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 3), jnp.float32)

@@ -102,6 +102,7 @@ class TestCollectionDataset:
         assert len(b["features"]) == 4
 
 
+@pytest.mark.slow
 class TestSolverEndToEnd:
     def test_fit_learns_and_roundtrips(self, annotation_dir, ckpt_dir):
         solver = SegSolver(5, str(annotation_dir), str(ckpt_dir),
@@ -142,6 +143,7 @@ class TestSolverEndToEnd:
         assert "metrics_000000.txt" in files
 
 
+@pytest.mark.slow
 class TestDeviceCache:
     """HBM-resident dataset cache (`SegSolver._try_device_cache`): batch
     selection via on-device dynamic-slice must train identically to the

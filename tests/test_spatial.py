@@ -21,6 +21,8 @@ from gan_segmentation_tpu.models.decoder import decoder_from_config
 from gan_segmentation_tpu.models.stylegan import init_generator
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+pytestmark = pytest.mark.slow  # training/e2e: minutes on the 1-core host
+
 
 def build(max_res_log2=5, batch=2, seed=0):
     gcfg = GanConfig(max_res_log2=max_res_log2, fix_noise=True)

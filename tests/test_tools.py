@@ -2,11 +2,14 @@
 sweep in-suite so first contact with real silicon is one command."""
 
 import sys
+
+import pytest
 from os.path import dirname, join
 
 sys.path.insert(0, join(dirname(__file__), "..", "tools"))
 
 
+@pytest.mark.slow
 def test_retune_quick_sweep(capsys):
     import retune
 
