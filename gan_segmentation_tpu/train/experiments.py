@@ -9,6 +9,7 @@ from the kvstore/gpus flags (mapped onto the TPU data mesh), and for
 
 import argparse
 import inspect
+import os
 import shutil
 import sys
 from datetime import datetime
@@ -94,7 +95,17 @@ def init_exp(run_file_path, add_exp_args, argv=None):
     if stdout_log_path is not None:
         add_file_handler(stdout_log_path)
 
-    # device context resolution (`exps_utils.py:70-83`) -> TPU mesh
+    # device context resolution (`exps_utils.py:70-83`) -> TPU mesh.
+    # Honor an explicit JAX_PLATFORMS env request through the config API:
+    # environments may force-register a default backend at import time
+    # (e.g. the axon sitecustomize stomps the env var), and a CLI launched
+    # with JAX_PLATFORMS=cpu must actually get CPU.
+    env_platform = os.environ.get("JAX_PLATFORMS")
+    if env_platform and jax.config.jax_platforms != env_platform:
+        try:
+            jax.config.update("jax_platforms", env_platform)
+        except RuntimeError:  # backend already initialized; keep going
+            pass
     if args.no_cuda:
         logger.info("Using CPU")
         args.kvstore = "local"

@@ -1,0 +1,84 @@
+"""Worker for the two-process DeepLab trainer test: SegmentationTrainer
+multi-host path (per-process batch_iter shards -> global arrays, SPMD train
+step, process-sharded validation with cross-process metric all-reduce,
+primary-only checkpoints/TB).
+
+Usage: python mp_worker_deeplab.py <port> <process_id> <data_dir> <out_dir>
+"""
+import json
+import os
+import sys
+import types
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+
+
+def main():
+    port, pid, data_dir, out_dir = sys.argv[1:5]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from gan_segmentation_tpu.core.distributed import initialize, is_primary
+
+    assert initialize(f"localhost:{port}", num_processes=2,
+                      process_id=int(pid))
+    assert jax.device_count() == 8 and jax.local_device_count() == 4
+
+    from gan_segmentation_tpu.core.mesh import make_mesh
+    from gan_segmentation_tpu.data.augment import (
+        CenterCrop, PadIfNeeded, RGBSegmentationAug, RandomCrop)
+    from gan_segmentation_tpu.data.segmentation import (
+        FFHQHairSegmentation, imagenet_transform)
+    from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
+    from gan_segmentation_tpu.train.deeplab_trainer import SegmentationTrainer
+
+    mesh = make_mesh()
+    crop = 32
+    args = types.SimpleNamespace(
+        batch_size=8, test_batch_size=8, workers=0, weights=None,
+        start_epoch=0, logs_path=None,
+        checkpoints_path=os.path.join(out_dir, "ckpt"),
+        mesh=mesh, seed=0, vizualization=False)
+    model = DeepLabV3Plus(nclass=2, aux=True, crop_size=crop)
+    model_cfg = {"num_classes": 2, "crop_size": crop, "base_size": 48,
+                 "aux": True, "aux_weight": 0.5}
+    # deterministic pipeline: item i must be a pure function of i so the
+    # two-process loaders reproduce the single-process stream exactly
+    # (RandomCrop + replacement draws use STATEFUL per-dataset rngs)
+    aug = RGBSegmentationAug([PadIfNeeded(crop, crop),
+                              CenterCrop(crop, crop)], ignore_class=-1)
+    vaug = RGBSegmentationAug([PadIfNeeded(crop, crop),
+                               CenterCrop(crop, crop)], ignore_class=-1)
+    trainset = FFHQHairSegmentation(data_dir, split="train",
+                                    subdir="train_generated",
+                                    train_epoch_len=-1, scale_factor=1.0,
+                                    transform=imagenet_transform,
+                                    augmentator=aug)
+    valset = FFHQHairSegmentation(data_dir, split="val", scale_factor=1.0,
+                                  transform=imagenet_transform,
+                                  augmentator=vaug)
+    trainer = SegmentationTrainer(
+        args, model, model_cfg, trainset, valset,
+        {"mode": "poly", "baselr": 0.005, "nepochs": 1, "wd": 2e-4,
+         "momentum": 0.9},
+        image_dump_interval=0, mesh=mesh)
+    loss = trainer.training(0)
+    metrics = trainer.validation(0)
+
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices("done")
+    if is_primary():
+        with open(os.path.join(out_dir, "result.json"), "w") as fp:
+            json.dump({"loss": loss, "metrics": metrics}, fp)
+    multihost_utils.sync_global_devices("dumped")
+    jax.distributed.shutdown()
+    print(f"deeplab worker {pid} OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -83,3 +83,101 @@ def test_two_process_fit_matches_single_process(tmp_path):
 
     # multi-host checkpointing wrote exactly one checkpoint (process 0)
     assert (out_dir / "ckpt" / "checkpoint_last.params").exists()
+
+
+@pytest.mark.slow
+def test_two_process_deeplab_trainer_matches_single_process(tmp_path):
+    """SegmentationTrainer multi-host: 2-process training epoch + process-
+    sharded validation (metric counters merged with one cross-process
+    all-reduce) equals the single-process 8-device run."""
+    import types
+
+    from test_deeplab import make_rgb_dataset
+
+    data_dir = tmp_path / "data"
+    make_rgb_dataset(data_dir, "train_generated", 8, size=48)
+    make_rgb_dataset(data_dir, "val", 8, size=48)
+    out_dir = tmp_path / "mp"
+    out_dir.mkdir()
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "mp_worker_deeplab.py")
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, "12379", str(i), str(data_dir),
+         str(out_dir)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"deeplab worker {i} OK" in out
+
+    # single-process comparator: same recipe on the in-test 8-device mesh
+    from gan_segmentation_tpu.core.mesh import make_mesh
+    from gan_segmentation_tpu.data.augment import (
+        CenterCrop, PadIfNeeded, RGBSegmentationAug, RandomCrop)
+    from gan_segmentation_tpu.data.segmentation import (
+        FFHQHairSegmentation, imagenet_transform)
+    from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
+    from gan_segmentation_tpu.train.deeplab_trainer import SegmentationTrainer
+
+    mesh = make_mesh()
+    crop = 32
+    args = types.SimpleNamespace(
+        batch_size=8, test_batch_size=8, workers=0, weights=None,
+        start_epoch=0, logs_path=None,
+        checkpoints_path=tmp_path / "sp_ckpt", mesh=mesh, seed=0,
+        vizualization=False)
+    model = DeepLabV3Plus(nclass=2, aux=True, crop_size=crop)
+    model_cfg = {"num_classes": 2, "crop_size": crop, "base_size": 48,
+                 "aux": True, "aux_weight": 0.5}
+    # deterministic pipeline: item i must be a pure function of i so the
+    # two-process loaders reproduce the single-process stream exactly
+    # (RandomCrop + replacement draws use STATEFUL per-dataset rngs)
+    aug = RGBSegmentationAug([PadIfNeeded(crop, crop),
+                              CenterCrop(crop, crop)], ignore_class=-1)
+    vaug = RGBSegmentationAug([PadIfNeeded(crop, crop),
+                               CenterCrop(crop, crop)], ignore_class=-1)
+    trainset = FFHQHairSegmentation(str(data_dir), split="train",
+                                    subdir="train_generated",
+                                    train_epoch_len=-1, scale_factor=1.0,
+                                    transform=imagenet_transform,
+                                    augmentator=aug)
+    valset = FFHQHairSegmentation(str(data_dir), split="val",
+                                  scale_factor=1.0,
+                                  transform=imagenet_transform,
+                                  augmentator=vaug)
+    trainer = SegmentationTrainer(
+        args, model, model_cfg, trainset, valset,
+        {"mode": "poly", "baselr": 0.005, "nepochs": 1, "wd": 2e-4,
+         "momentum": 0.9},
+        image_dump_interval=0, mesh=mesh)
+    sp_loss = trainer.training(0)
+    sp_metrics = trainer.validation(0)
+
+    import json as _json
+    with open(out_dir / "result.json") as fp:
+        mp = _json.load(fp)
+    np.testing.assert_allclose(mp["loss"], sp_loss, rtol=1e-4, atol=1e-5)
+    assert set(mp["metrics"]) == set(sp_metrics)
+    for k in sp_metrics:
+        # metrics are THRESHOLDED pixel counts on a near-random model:
+        # gloo-vs-XLA gradient reduction order perturbs weights ~1e-6,
+        # flipping a few decision-boundary pixels — allow that discreteness
+        # (the loss comparison above is the tight continuous check)
+        np.testing.assert_allclose(mp["metrics"][k], sp_metrics[k],
+                                   rtol=1e-2, atol=1e-3, err_msg=k)
+    # primary-only checkpointing
+    assert (out_dir / "ckpt" / "last_checkpoint.params").exists()

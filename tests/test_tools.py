@@ -10,6 +10,19 @@ sys.path.insert(0, join(dirname(__file__), "..", "tools"))
 
 
 @pytest.mark.slow
+def test_bench_multiscale_eval_smoke():
+    """The batched-eval bench tool runs its full sweep on tiny shapes and
+    emits one valid record per batch size."""
+    import bench_multiscale_eval
+
+    results = bench_multiscale_eval.main(
+        ["--batches", "1,2", "--images", "2", "--res", "64",
+         "--base-size", "48", "--crop-size", "32"])
+    assert [r["batch"] for r in results] == [1, 2]
+    assert all(r["img_per_sec"] > 0 and r["images"] == 2 for r in results)
+
+
+@pytest.mark.slow
 def test_retune_quick_sweep(capsys):
     import retune
 
