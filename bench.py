@@ -16,6 +16,10 @@ installable here; see BASELINE.md).
 
 import argparse
 import json
+import os
+import subprocess
+import sys
+import threading
 import time
 from os.path import dirname, isfile, join
 
@@ -127,6 +131,31 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
     return batch * iters / dt
 
 
+_PROBE = ("import jax, jax.numpy as jnp; "
+          "assert float(jax.jit(lambda a: jnp.sum(a*a))(jnp.ones((8,8))))"
+          " == 64.0")
+
+
+def _emit_error(metric, reason):
+    print(json.dumps({"metric": metric, "value": 0.0,
+                      "unit": "samples/sec/chip", "vs_baseline": None,
+                      "error": reason}), flush=True)
+
+
+def preflight(metric, timeout=150):
+    """Fail fast instead of hanging: the axon tunnel can wedge mid-session
+    (jit dispatch/D2H never returns and is uninterruptible in-process), so
+    probe it from a killable subprocess before building anything."""
+    try:
+        subprocess.run([sys.executable, "-c", _PROBE], timeout=timeout,
+                       check=True, capture_output=True)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+        _emit_error(metric, f"device unresponsive ({type(e).__name__}): "
+                            "axon tunnel wedged?")
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     # batch sweep on the axon v5e (r2): 32→~170, 48→213, 96→306, 112→343,
@@ -141,7 +170,23 @@ def main():
         "--spatial", type=int, default=1, metavar="N",
         help="H-shard every image over N devices on a (data, space) mesh "
              "(spatial parallelism); N must divide the device count")
+    ap.add_argument(
+        "--watchdog", type=int, default=1800, metavar="SEC",
+        help="hard deadline: emit an error JSON line and exit if the "
+             "measurement has not completed (0 disables)")
     args = ap.parse_args()
+
+    metric = f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px"
+    if not preflight(metric):
+        return
+    if args.watchdog:
+        def _expire():
+            _emit_error(metric, f"watchdog: no result in {args.watchdog}s "
+                                "(device wedged mid-run?)")
+            os._exit(3)
+        t = threading.Timer(args.watchdog, _expire)
+        t.daemon = True
+        t.start()
 
     value = measure(args.batch, args.iters, args.max_res_log2,
                     spatial=args.spatial)
@@ -155,7 +200,7 @@ def main():
         if ref:
             vs_baseline = value / ref
     print(json.dumps({
-        "metric": f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px",
+        "metric": metric,
         "value": round(value, 3),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
