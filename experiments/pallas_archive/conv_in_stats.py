@@ -17,13 +17,22 @@ written ONCE and never re-read for statistics.
 Traffic math (activation of T bytes): XLA path = conv-write T + stats-read
 T + normalize read/write 2T = 4T around the op pair; fused = write T +
 normalize 2T = 3T. The saving is real but bounded (25% of the pair's
-traffic) and rides on this kernel's conv being competitive — which the
-archived measurements show it is NOT on the axon-virtualized v5e (the
-direct Pallas conv is ~2.4x slower than XLA's emitter at these narrow
-shapes, costing more than one activation read). See the measured verdict in
-BASELINE.md ("conv+IN-stats fusion"); rerun `tools/retune.py` +
-`tools/bench_conv_in_stats.py` on real silicon where the conv gap may
-close.
+traffic) and rides on this kernel's conv being competitive.
+
+MEASURED VERDICT (round 3, axon-virtualized v5e; ARCHIVED on it): in
+device time (`tools/bench_conv_in_stats.py --repeat 17`, in-program
+chaining that cancels the ~26 ms dispatch floor) the fused kernel is
+~2x SLOWER than the XLA conv + separate-stats composition:
+256^2x64 b8: XLA 0.92 ms vs fused 1.95 ms (0.47x); 512^2x32: 3.90 vs
+7.21 ms (0.54x). The Pallas direct conv's deficit exceeds the one
+activation read the fusion saves, consistent with the archived
+small_conv measurements. Wall-clock single-op numbers (~30 ms both
+paths, "speedup 1.0") are the dispatch floor, not the kernel.
+Compile notes for this environment's remote helper: 3-D blocks of a 3-D
+operand are rejected (noise must be carried 4-D, see _kernel), and
+W=1024 blocks at tile_h=8 exceed what the helper will build — tile_h=4
+compiles and measures 0.77x in wall-clock mode. Rerun on real silicon
+where the conv gap may close.
 
 Statistics are accumulated from the f32 epilogue values (higher fidelity
 than recomputing from a bf16-stored activation), matching the framework's
@@ -60,6 +69,10 @@ def _kernel(cur_ref, nxt_ref, noise_ref, w_ref, p_ref, out_ref, stats_ref, *,
     # epilogue in f32: x + noise * nscale + bias, then lrelu
     nscale = p_ref[0].astype(jnp.float32)        # (Cout,)
     bias = p_ref[1].astype(jnp.float32)          # (Cout,)
+    # noise block is (1, TH, W, 1): kept 4-D because the axon Mosaic
+    # compile helper rejects 3-D blocks of a 3-D operand here (bisected:
+    # identical kernel with a (1, TH, W) noise spec fast-fails with
+    # tpu_compile_helper exit 1; the 4-D layout compiles)
     noise = noise_ref[0].reshape(th * w_size, 1).astype(jnp.float32)
     acc = acc + noise * nscale[None, :] + bias[None, :]
     acc = jnp.where(acc >= 0, acc, leaky * acc)
@@ -112,8 +125,9 @@ def conv3x3_noise_bias_lrelu_instats(x, w, noise, nscale, bias, *,
             pl.BlockSpec((1, tile_h, w_size + 2, cin),
                          lambda ni, j: (ni, j + 1, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile_h, w_size),
-                         lambda ni, j: (ni, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile_h, w_size, 1),
+                         lambda ni, j: (ni, j, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights
             pl.BlockSpec(memory_space=pltpu.VMEM),  # (nscale, bias)
         ],
@@ -130,7 +144,7 @@ def conv3x3_noise_bias_lrelu_instats(x, w, noise, nscale, bias, *,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(x_pad, x_pad, jnp.asarray(noise, jnp.float32), w, params)
+    )(x_pad, x_pad, jnp.asarray(noise, jnp.float32)[..., None], w, params)
 
     hw = h * w_size
     mean = stats[:, 0] / hw

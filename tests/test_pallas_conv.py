@@ -61,12 +61,14 @@ def test_tile_divisibility_assert(interp, rng):
 
 
 class TestConvINStats:
-    """Fused conv+noise+bias+lrelu+IN-stats kernel (ops/pallas/conv_in_stats)
-    vs the unfused reference composition, interpreter mode."""
+    """Fused conv+noise+bias+lrelu+IN-stats kernel (archived: measured ~2x
+    slower than the XLA composition in device time on this chip, see
+    experiments/pallas_archive/README.md) vs the unfused reference
+    composition, interpreter mode."""
 
     @pytest.fixture
     def interp_stats(self, monkeypatch):
-        from gan_segmentation_tpu.ops.pallas import conv_in_stats as m
+        import conv_in_stats as m
         orig = m.pl.pallas_call
         monkeypatch.setattr(m.pl, "pallas_call",
                             functools.partial(orig, interpret=True))
