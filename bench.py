@@ -90,12 +90,8 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2, spatial: int = 1, s2d: bool = True,
             n_block_stages: int = 3) -> float:
-    mesh = None
-    if spatial > 1:
-        from gan_segmentation_tpu.core.mesh import make_mesh_2d, replicate
-        ndev = len(jax.devices())
-        assert ndev % spatial == 0, (ndev, spatial)
-        mesh = make_mesh_2d(ndev // spatial, spatial)
+    from gan_segmentation_tpu.core.mesh import replicate, spatial_mesh
+    mesh = spatial_mesh(spatial)
     fused_raw, gp, dp = build_fused(max_res_log2, s2d=s2d,
                                     n_block_stages=n_block_stages, mesh=mesh)
     if mesh is not None:

@@ -84,17 +84,14 @@ def run_generate(cfg, spatial: int = 1):
     netG = ImageGenerator(gan=cfg.GAN, gan_dir=cfg.GAN_DIR,
                           batch_size=batch_size,
                           max_res_log2=cfg.MAX_RES_LOG2, seed=pi)
-    mesh = None
-    if spatial > 1:
-        import jax
-        from ..core.mesh import make_mesh_2d
-        ndev = len(jax.devices())
-        if ndev % spatial:
-            raise SystemExit(f"--spatial {spatial} must divide the device "
-                             f"count ({ndev})")
-        mesh = make_mesh_2d(ndev // spatial, spatial)
+    from ..core.mesh import spatial_mesh
+    try:
+        mesh = spatial_mesh(spatial)
+    except ValueError as exc:
+        raise SystemExit(str(exc))
+    if mesh is not None:
         log.info("spatial parallelism: (%d data, %d space) mesh",
-                 ndev // spatial, spatial)
+                 len(jax.devices()) // spatial, spatial)
     pipeline = FusedPipeline(netG, solver, mesh=mesh)
 
     dst_dir = join(cfg.BASE_DIR, "dataset", "train_generated")

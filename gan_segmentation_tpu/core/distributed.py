@@ -49,12 +49,16 @@ def is_primary() -> bool:
 def local_shard(arr) -> np.ndarray:
     """Pull this process's rows of a batch-sharded global array to host.
 
-    Shards are re-ordered by their global batch offset, so the result lines
+    Shards are de-duplicated by global batch offset (on a 2-D (data, space)
+    mesh each batch row's shard is replicated over ``space``, so several
+    local devices hold the same rows) and re-ordered, so the result lines
     up with the slice `batch_iter(process_index=...)` fed on this process.
     """
-    shards = sorted(arr.addressable_shards,
-                    key=lambda s: s.index[0].start or 0)
-    return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+    uniq = {}
+    for s in arr.addressable_shards:
+        uniq.setdefault(s.index[0].start or 0, s)
+    return np.concatenate(
+        [np.asarray(uniq[k].data) for k in sorted(uniq)], axis=0)
 
 
 def allreduce_sum(tree):
@@ -80,18 +84,8 @@ def make_global_batch(mesh, per_host_batch):
 
     ``per_host_batch``: numpy array whose leading dim is this process's
     share of the global batch. Returns a jax.Array spanning all hosts.
+    Alias of `core.mesh.shard_batch`'s multi-host path (one implementation,
+    correct on 1-D and 2-D (data, space) meshes alike).
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    def put(x):
-        x = np.asarray(x)
-        global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-        sharding = NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
-        local_devices = [d for d in mesh.devices.flat
-                         if d.process_index == jax.process_index()]
-        per_dev = np.array_split(x, len(local_devices), axis=0)
-        arrays = [jax.device_put(s, d) for s, d in zip(per_dev, local_devices)]
-        return jax.make_array_from_single_device_arrays(
-            global_shape, sharding, arrays)
-
-    return jax.tree_util.tree_map(put, per_host_batch)
+    from .mesh import shard_batch
+    return shard_batch(mesh, per_host_batch)

@@ -80,6 +80,18 @@ def _local_mesh_devices(mesh: Mesh):
             if d.process_index == jax.process_index()]
 
 
+def local_data_count(mesh: Mesh) -> int:
+    """How many ``data``-axis positions of ``mesh`` this process owns (= the
+    number of distinct batch shards its local devices carry). On a 1-D mesh
+    this is simply the local device count; on a (data, space) mesh each
+    data row is replicated over ``space``, so whole rows count once."""
+    pi = jax.process_index()
+    dev = mesh.devices
+    if dev.ndim == 1:
+        return sum(d.process_index == pi for d in dev)
+    return sum(any(d.process_index == pi for d in row) for row in dev)
+
+
 def shard_batch(mesh: Mesh, tree):
     """Place every array in ``tree`` with its batch axis sharded over ``data``.
 
@@ -91,24 +103,37 @@ def shard_batch(mesh: Mesh, tree):
     Multi-host (``jax.process_count() > 1``): each process passes its own
     **local shard** (leading dim = global batch / process_count, e.g. the
     slice `batch_iter(process_index=...)` yields) and a global jax.Array
-    spanning all hosts is assembled; the leading dim must divide the local
-    device count (no replicated fallback — per-process data differs, so
-    silent replication would be wrong).
+    spanning all hosts is assembled via `make_array_from_callback` — which
+    is layout-correct on a 2-D (data, space) mesh too (each data row's
+    shard replicated over its ``space`` devices). The leading dim must
+    divide this process's data-axis row count (no replicated fallback —
+    per-process data differs, so silent replication would be wrong), and
+    processes must tile the data axis contiguously in process-index order
+    (the default `jax.devices()` mesh layout).
     """
     if jax.process_count() > 1:
-        local = _local_mesh_devices(mesh)
+        rows = local_data_count(mesh)
 
         def put_global(x):
             x = np.asarray(x)
-            if x.ndim < 1 or x.shape[0] % len(local) != 0:
+            if x.ndim < 1 or rows == 0 or x.shape[0] % rows != 0:
                 raise ValueError(
                     f"multi-host shard_batch: local batch {x.shape} must "
-                    f"divide the {len(local)} local devices")
+                    f"divide this process's {rows} data-axis rows")
             global_shape = (x.shape[0] * jax.process_count(),) + x.shape[1:]
-            per_dev = np.split(x, len(local), axis=0)
-            arrays = [jax.device_put(s, d) for s, d in zip(per_dev, local)]
-            return jax.make_array_from_single_device_arrays(
-                global_shape, data_sharding(mesh, x.ndim), arrays)
+            offset = jax.process_index() * x.shape[0]
+            sharding = data_sharding(mesh, x.ndim)
+
+            def cb(index):
+                r = index[0]
+                start = (r.start or 0) - offset
+                stop = (global_shape[0] if r.stop is None else r.stop) - offset
+                assert 0 <= start and stop <= x.shape[0], (
+                    "shard rows outside this process's batch slice — the "
+                    "mesh's data axis is not process-contiguous")
+                return x[(slice(start, stop),) + tuple(index[1:])]
+
+            return jax.make_array_from_callback(global_shape, sharding, cb)
 
         return jax.tree_util.tree_map(put_global, tree)
 
@@ -145,6 +170,21 @@ def replicate(mesh: Mesh, tree):
 
     sharding = replicated_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def spatial_mesh(spatial: int, devices: Optional[Sequence] = None):
+    """CLI helper for ``--spatial N``: None for N<=1, else the
+    ``(ndev/N data, N space)`` mesh. Raises ValueError unless N divides the
+    device count. Shared by `main.py generate --spatial` and
+    `bench.py --spatial`."""
+    if spatial <= 1:
+        return None
+    if devices is None:
+        devices = jax.devices()
+    if len(devices) % spatial:
+        raise ValueError(f"--spatial {spatial} must divide the device "
+                         f"count ({len(devices)})")
+    return make_mesh_2d(len(devices) // spatial, spatial, devices)
 
 
 def spatial_spec(ndim: int) -> P:

@@ -134,7 +134,10 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
         np.random.RandomState(seed).shuffle(order)
     if process_count > 1:
         g = batch_size * process_count
-        steps = n // g  # multi-host always drops the ragged tail
+        # multi-host yields FULL global batches only (uniform shard shapes);
+        # callers needing exact full-set coverage score the ragged tail
+        # themselves with padding (see SegmentationTrainer.validation)
+        steps = n // g
         order = np.concatenate([
             order[s * g + process_index * batch_size:
                   s * g + (process_index + 1) * batch_size]
@@ -218,10 +221,24 @@ class SegmentationTrainer:
         # (checkpoints, TensorBoard, image dumps) happen on process 0 only.
         self._pc = jax.process_count()
         self._pi = jax.process_index()
-        if self._pc > 1 and args.batch_size % self._pc:
-            raise ValueError(
-                f"multi-host training needs batch_size ({args.batch_size}) "
-                f"divisible by process_count ({self._pc})")
+        if self._pc > 1:
+            if args.batch_size % self._pc:
+                raise ValueError(
+                    f"multi-host training needs batch_size "
+                    f"({args.batch_size}) divisible by process_count "
+                    f"({self._pc})")
+            # fail at construction, not one epoch in: shard_batch requires
+            # each per-process slice to divide this process's data-axis rows
+            from ..core.mesh import local_data_count
+            rows = local_data_count(self.mesh)
+            tb = max(1, int(getattr(args, "test_batch_size", 1) or 1))
+            for name, per_proc in (("batch_size", args.batch_size // self._pc),
+                                   ("test_batch_size",
+                                    max(1, tb // self._pc))):
+                if rows == 0 or per_proc % rows:
+                    raise ValueError(
+                        f"multi-host {name}: per-process batch {per_proc} "
+                        f"must divide this process's {rows} data-axis rows")
         self.batch_size = args.batch_size
         self.iters_per_epoch = len(trainset) // self.batch_size
         total_iters = self.iters_per_epoch * optimizer_params["nepochs"]
@@ -407,7 +424,15 @@ class SegmentationTrainer:
 
             if (self.sw is not None and self.image_dump_interval > 0
                     and global_step % self.image_dump_interval == 0):
-                self._dump_images(imgs, masks, np.asarray(pred), global_step)
+                # pred is batch-sharded over the (possibly process-spanning)
+                # mesh; only this process's rows are addressable, and they
+                # line up with the local `imgs` slice
+                if self._pc > 1:
+                    from ..core.distributed import local_shard
+                    pred_h = local_shard(pred)
+                else:
+                    pred_h = np.asarray(pred)
+                self._dump_images(imgs, masks, pred_h, global_step)
             if i % log_interval == log_interval - 1 or i == 0:
                 drain(global_step)
                 logger.info("Epoch %d iter %d/%d training loss %.3f",
@@ -449,10 +474,8 @@ class SegmentationTrainer:
         else:
             put, pull = jnp.asarray, np.asarray
         per_proc = max(1, self.args.test_batch_size // self._pc)
-        for imgs, masks, _ in batch_iter(self.valset, per_proc,
-                                         shuffle=False, drop_last=False,
-                                         process_index=self._pi,
-                                         process_count=self._pc):
+
+        def score(imgs, masks, valid=None):
             if self.with_depth:
                 # (image, depth) tuple inputs (`lib/core/segmentation.py:165-168`)
                 imgs, depth = imgs
@@ -462,7 +485,39 @@ class SegmentationTrainer:
             else:
                 pred = eval_fn(self.state.params, self.state.batch_stats,
                                put(self._feed(imgs, 256)))
-            self.metric.update([masks], [pull(pred)])
+            p = pull(pred)
+            if valid is not None:
+                masks, p = masks[valid], p[valid]
+            if len(masks):
+                self.metric.update([masks], [p])
+
+        for imgs, masks, _ in batch_iter(self.valset, per_proc,
+                                         shuffle=False, drop_last=False,
+                                         process_index=self._pi,
+                                         process_count=self._pc):
+            score(imgs, masks)
+        if self._pc > 1:
+            # batch_iter drops the ragged multi-host tail; cover it here by
+            # padding the final global batch to full size with repeats of the
+            # last sample (every process must participate in the sharded
+            # computation — same program shape, no recompile) and updating
+            # the metric with this process's VALID rows only, so the scored
+            # set is exactly the full val set, matching single-process runs.
+            n, g = len(self.valset), per_proc * self._pc
+            rem = n % g
+            if rem:
+                mine = [min(n - rem + self._pi * per_proc + j, n - 1)
+                        for j in range(per_proc)]
+                items = [self.valset[i] for i in mine]
+                if self.with_depth:
+                    imgs = (np.stack([it[0][0] for it in items]),
+                            np.stack([it[0][1] for it in items]))
+                else:
+                    imgs = np.stack([it[0] for it in items])
+                masks = np.stack([it[1] for it in items])
+                valid = [j for j in range(per_proc)
+                         if self._pi * per_proc + j < rem]
+                score(imgs, masks, valid=valid)
         if self._pc > 1:
             from ..core.distributed import allreduce_sum
             m = self.metric
@@ -811,8 +866,16 @@ class SegmentationTester:
             nonlocal pending, imgs, masks
             if not imgs:
                 return
-            scores = self.evaluator.device_scores_batch(imgs)
-            labs = label_map(scores)
+            # pad ragged buckets to a full batch with repeats of the last
+            # image: one compiled program per image SHAPE (at batch bs)
+            # instead of one per (shape, residual count) — each extra
+            # program is a 30-90 s XLA compile, far more than the wasted
+            # window compute; padded outputs are sliced off before drain
+            n_valid = len(imgs)
+            batch = (imgs if n_valid == bs
+                     else imgs + [imgs[-1]] * (bs - n_valid))
+            scores = self.evaluator.device_scores_batch(batch)
+            labs = label_map(scores)[:n_valid]
             if pending is not None:
                 drain(pending)
             pending = (masks, labs)

@@ -52,6 +52,11 @@ def get_test_arguments():
     parser = get_common_arguments()
     parser.add_argument("run_path", type=str)
     parser.add_argument("--vizualization", action="store_true", default=False)
+    # not in the reference CLI: images per fused multi-scale-eval program
+    # (`SegmentationTester.test` buckets same-shape images and pads ragged
+    # tails). 2 is the measured best on this chip (4.4 img/s vs 4.1 at 1 —
+    # BASELINE.md "fused multi-scale eval"); re-tune on new silicon.
+    parser.add_argument("--test-batch-size", type=int, default=2)
     return parser
 
 

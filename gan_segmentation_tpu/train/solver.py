@@ -305,6 +305,15 @@ class SegSolver:
                     f"multi-host training needs train_batch_size "
                     f"({cfg.train_batch_size}) divisible by process_count "
                     f"({pc})")
+            # fail before the first epoch: shard_batch requires the
+            # per-process slice to divide this process's data-axis rows
+            from ..core.mesh import local_data_count
+            rows = local_data_count(self.mesh)
+            if rows == 0 or (cfg.train_batch_size // pc) % rows:
+                raise ValueError(
+                    f"multi-host training: per-process batch "
+                    f"({cfg.train_batch_size // pc}) must divide this "
+                    f"process's {rows} data-axis rows")
             state = replicate(self.mesh, jax.device_get(state))
         cached = self._try_device_cache(dataset)
         if cached is not None:

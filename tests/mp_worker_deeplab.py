@@ -37,6 +37,24 @@ def main():
     from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
     from gan_segmentation_tpu.train.deeplab_trainer import SegmentationTrainer
 
+    # multi-host shard_batch on a 2-D (data, space) mesh: each process's
+    # local batch lands on its data row (replicated over space), round-trips
+    # through local_shard, and a jitted global reduction sees both hosts
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gan_segmentation_tpu.core.distributed import local_shard
+    from gan_segmentation_tpu.core.mesh import make_mesh_2d, shard_batch
+
+    mesh2 = make_mesh_2d(2, 4)
+    x2 = (np.arange(4 * 3, dtype=np.float32).reshape(4, 3)
+          + 1000.0 * int(pid))
+    g2 = shard_batch(mesh2, x2)
+    assert g2.shape == (8, 3), g2.shape
+    np.testing.assert_array_equal(local_shard(g2), x2)
+    total = float(jax.jit(jnp.sum)(g2))
+    assert total == 66.0 + 66.0 + 1000.0 * 12, total
+
     mesh = make_mesh()
     crop = 32
     args = types.SimpleNamespace(
@@ -66,15 +84,42 @@ def main():
         args, model, model_cfg, trainset, valset,
         {"mode": "poly", "baselr": 0.005, "nepochs": 1, "wd": 2e-4,
          "momentum": 0.9},
-        image_dump_interval=0, mesh=mesh)
+        image_dump_interval=1, mesh=mesh)
+
+    # primary-only TensorBoard: the image-dump path must pull the LOCAL
+    # shard of the batch-sharded pred (np.asarray on the global array would
+    # raise "spans non-addressable devices")
+    class _FakeSW:
+        def __init__(self):
+            self.images = 0
+
+        def add_scalar(self, *a, **k):
+            pass
+
+        def add_scalars(self, *a, **k):
+            pass
+
+        def add_image(self, *a, **k):
+            self.images += 1
+
+    sw = _FakeSW()
+    if is_primary():
+        trainer.sw = sw
     loss = trainer.training(0)
+    if is_primary():
+        assert sw.images > 0, "image dump never ran on the primary"
     metrics = trainer.validation(0)
+    # exact full-coverage check: total_label counts valid pixels of the
+    # WHOLE val set (a pure function of the masks — the ragged tail the
+    # sharded loop drops must be scored via the padded tail batch)
+    total_label = int(np.sum(np.asarray(trainer.metric.total_label)))
 
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices("done")
     if is_primary():
         with open(os.path.join(out_dir, "result.json"), "w") as fp:
-            json.dump({"loss": loss, "metrics": metrics}, fp)
+            json.dump({"loss": loss, "metrics": metrics,
+                       "total_label": total_label}, fp)
     multihost_utils.sync_global_devices("dumped")
     jax.distributed.shutdown()
     print(f"deeplab worker {pid} OK", flush=True)

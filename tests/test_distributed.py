@@ -72,3 +72,34 @@ def test_batch_iter_process_sharding():
         merged.extend(a[s * b:(s + 1) * b])
         merged.extend(c[s * b:(s + 1) * b])
     np.testing.assert_array_equal(merged, ref[:18])
+
+
+def test_spatial_mesh_helper():
+    """`spatial_mesh` (the `--spatial N` CLI helper): None for N<=1, the
+    (ndev/N data, N space) mesh otherwise, ValueError when N doesn't divide
+    the device count."""
+    import jax
+
+    from gan_segmentation_tpu.core.mesh import spatial_mesh
+
+    assert spatial_mesh(0) is None
+    assert spatial_mesh(1) is None
+    ndev = len(jax.devices())
+    assert ndev == 8  # conftest provisions the virtual 8-device mesh
+    m = spatial_mesh(4)
+    assert m.axis_names == ("data", "space")
+    assert m.devices.shape == (2, 4)
+    with pytest.raises(ValueError):
+        spatial_mesh(3)
+
+
+def test_local_data_count():
+    """Single process owns every data-axis position: the full device count
+    on a 1-D mesh, only the distinct data ROWS on a (data, space) mesh
+    (each row's shard is replicated over `space`)."""
+    from gan_segmentation_tpu.core.mesh import (
+        local_data_count, make_mesh, make_mesh_2d)
+
+    assert local_data_count(make_mesh()) == 8
+    assert local_data_count(make_mesh_2d(2, 4)) == 2
+    assert local_data_count(make_mesh_2d(4, 2)) == 4

@@ -96,7 +96,10 @@ def test_two_process_deeplab_trainer_matches_single_process(tmp_path):
 
     data_dir = tmp_path / "data"
     make_rgb_dataset(data_dir, "train_generated", 8, size=48)
-    make_rgb_dataset(data_dir, "val", 8, size=48)
+    # 11 val images: NOT divisible by the global test batch (8), so the
+    # multi-host validation must score the ragged 3-image tail via the
+    # padded tail batch — checked exactly through total_label below
+    make_rgb_dataset(data_dir, "val", 11, size=48)
     out_dir = tmp_path / "mp"
     out_dir.mkdir()
 
@@ -166,10 +169,15 @@ def test_two_process_deeplab_trainer_matches_single_process(tmp_path):
         image_dump_interval=0, mesh=mesh)
     sp_loss = trainer.training(0)
     sp_metrics = trainer.validation(0)
+    sp_total_label = int(np.sum(np.asarray(trainer.metric.total_label)))
 
     import json as _json
     with open(out_dir / "result.json") as fp:
         mp = _json.load(fp)
+    # exact: valid-pixel count is a pure function of the masks — equality
+    # proves the 2-process run scored ALL 11 val images (incl. the ragged
+    # tail), not a truncated subset
+    assert mp["total_label"] == sp_total_label > 0
     np.testing.assert_allclose(mp["loss"], sp_loss, rtol=1e-4, atol=1e-5)
     assert set(mp["metrics"]) == set(sp_metrics)
     for k in sp_metrics:

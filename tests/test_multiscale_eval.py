@@ -135,3 +135,39 @@ def test_batched_program_cache_lru():
     ev.device_scores(rs.randn(20, 16, 3).astype(np.float32))      # evicts oldest
     assert len(ev._programs) == 2
     assert (1, 16, 16, 3) not in ev._programs
+
+
+def test_tester_pads_ragged_bucket_to_one_program():
+    """SegmentationTester.test: 3 same-shape images at bs=2 must compile ONE
+    program (the b=2 one, ragged tail padded with repeats) and score
+    exactly the same metrics as the per-image path."""
+    import types
+
+    from gan_segmentation_tpu.metrics.seg_metrics import (
+        SegMetric, SegmentationMetric)
+    from gan_segmentation_tpu.train.deeplab_trainer import SegmentationTester
+
+    rs = np.random.RandomState(0)
+    items = [(rs.randn(32, 32, 3).astype(np.float32),
+              rs.randint(0, 2, (32, 32)).astype(np.int32)) for _ in range(3)]
+
+    def make_tester(bs):
+        t = object.__new__(SegmentationTester)
+        t.args = types.SimpleNamespace(test_batch_size=bs, dtype="float32")
+        t.metric = SegMetric(2, class_names=["bg", "fg"], skip_bg=True,
+                             threshold=0.5, compute_dice=True)
+        t.metric_orig = SegmentationMetric(2, skip_bg=True, threshold=0.5)
+        t.evaluator = build(crop=32, base=32, scales=(1.0,), flip=False)
+        return t
+
+    t2 = make_tester(2)
+    t2.test(items, batch_size=2)
+    # one compiled program for the shape, at the full batch size
+    assert list(t2.evaluator._programs) == [(2, 32, 32, 3)]
+
+    t1 = make_tester(1)
+    t1.test(items, batch_size=1)
+    n2, v2 = t2.metric.get()
+    n1, v1 = t1.metric.get()
+    assert n1 == n2
+    np.testing.assert_allclose(v2, v1, rtol=1e-6, atol=1e-8)

@@ -2,7 +2,7 @@
 """Re-tune harness for first contact with new silicon (VERDICT r2 #9).
 
 The shipped tuning (batch 128, s2d tail depth 3, Pallas-vs-XLA verdicts in
-`ops/pallas/*`) is specific to the axon-virtualized v5e this repo was built
+`experiments/pallas_archive/`) is specific to the axon-virtualized v5e this repo was built
 against (~10-20% of nominal; BASELINE.md "measured envelope"). On real
 hardware, run this once: it sweeps batch x s2d-tail-depth x s2d-on/off over
 the fused z->(image,mask) pipeline and emits both JSON lines and the
