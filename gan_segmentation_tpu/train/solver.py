@@ -170,18 +170,26 @@ class SegSolver:
 
         Returns ``(feats_all, masks_all)`` device arrays — feats_all[i] is
         (S, h_i, w_i, c_i) f32, masks_all is (S, H, W) int8 — or None when
-        over the ``device_cache_gb`` budget, under multi-HOST training
-        (each process holds only its shard of the data), or on any upload
-        failure (falls back to per-step upload).
+        over the ``device_cache_gb`` budget or on any upload failure
+        (falls back to per-step upload).
 
         Multi-DEVICE data parallelism composes: the cache is replicated
         over the mesh (it is a few GB at most) and the cached train step
         re-shards each gathered batch onto the ``data`` axis, so DP keeps
         its device-rate steps instead of silently falling back to the
         per-step feature-pyramid upload.
+
+        Multi-HOST composes the same way: every process reads the full
+        on-disk collection (the same assumption the per-step
+        ``load_process_slice`` path already makes — the annotated set is
+        shared or mirrored across hosts) and `replicate` assembles the
+        globally-replicated arrays; batch indices are identical on every
+        process (same seed), so the gathered batch and its re-shard onto
+        ``data`` are one consistent SPMD program. Proven equal to the
+        single-process run in `tests/test_multiprocess.py`.
         """
         cfg = self.cfg
-        if not getattr(cfg, "device_cache", True) or jax.process_count() > 1:
+        if not getattr(cfg, "device_cache", True):
             return None
         if getattr(dataset, "_output_idx", False):
             # (idx, img, mask, features) layout would mis-stack below
@@ -300,6 +308,14 @@ class SegSolver:
         # seed -> same init), host-side writes happen on process 0 only.
         pc, pi = jax.process_count(), jax.process_index()
         if pc > 1:
+            state = replicate(self.mesh, jax.device_get(state))
+        cached = self._try_device_cache(dataset)
+        self.cache_active = cached is not None
+        if pc > 1 and cached is None:
+            # per-step host feeding: every process uploads its disjoint
+            # slice, so the global batch must split evenly. The cached path
+            # has no such constraint (batch gather is global, on device) —
+            # it even runs the reference's batch-1 protocol multi-host.
             if cfg.train_batch_size % pc:
                 raise ValueError(
                     f"multi-host training needs train_batch_size "
@@ -314,8 +330,6 @@ class SegSolver:
                     f"multi-host training: per-process batch "
                     f"({cfg.train_batch_size // pc}) must divide this "
                     f"process's {rows} data-axis rows")
-            state = replicate(self.mesh, jax.device_get(state))
-        cached = self._try_device_cache(dataset)
         if cached is not None:
             feats_all, masks_all = cached
             train_step_cached = self._build_train_step_cached(

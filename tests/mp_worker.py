@@ -42,6 +42,7 @@ def main():
     cfg = SolverConfig(max_res_log2=5)
     cfg.train_epochs = 2
     cfg.train_batch_size = 8  # GLOBAL batch; 4 per process
+    cfg.device_cache = False  # host-feed path: per-process disjoint slices
     # SGD so the comparison tests the gradients (incl. the cross-process
     # all-reduce) directly: Adam's g/sqrt(v) amplifies gloo-vs-XLA
     # reduction-order noise on near-zero grads into sign flips
@@ -50,6 +51,25 @@ def main():
     solver = SegSolver(5, data_dir, os.path.join(out_dir, "ckpt"),
                        cfg=cfg, keep_weights=True, seed=7)
     solver.fit()
+    assert not solver.cache_active
+
+    # second fit: the HBM-resident device cache under multi-host — every
+    # process uploads the full collection replicated over the global mesh
+    # and each step gathers its batch ON DEVICE from identical global
+    # indices. No per-process divisibility constraint: global batch 3 over
+    # 2 processes is impossible for the host-feed path (3 % 2 != 0) but
+    # trains fine cached (this is how the reference's batch-1 protocol,
+    # `seg_solver.py:95-107`, runs multi-host).
+    cfg_c = SolverConfig(max_res_log2=5)
+    cfg_c.train_epochs = 2
+    cfg_c.train_batch_size = 3
+    cfg_c.device_cache = True
+    cfg_c.optimizer = "sgd"
+    cfg_c.momentum = 0.9
+    solver_c = SegSolver(5, data_dir, os.path.join(out_dir, "ckpt_c"),
+                         cfg=cfg_c, keep_weights=True, seed=7)
+    solver_c.fit()
+    assert solver_c.cache_active, "device cache did not engage multi-host"
 
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices("fit-done")
@@ -59,6 +79,9 @@ def main():
         with open(os.path.join(out_dir, "params.msgpack"), "wb") as fp:
             fp.write(serialization.msgpack_serialize(
                 jax.device_get(solver.params)))
+        with open(os.path.join(out_dir, "params_cached.msgpack"), "wb") as fp:
+            fp.write(serialization.msgpack_serialize(
+                jax.device_get(solver_c.params)))
     multihost_utils.sync_global_devices("dump-done")
     jax.distributed.shutdown()
     print(f"worker {pid} OK", flush=True)

@@ -70,16 +70,35 @@ def test_two_process_fit_matches_single_process(tmp_path):
                        cfg=cfg, keep_weights=True, seed=7)
     solver.fit()
 
-    with open(out_dir / "params.msgpack", "rb") as fp:
-        mp_params = serialization.msgpack_restore(fp.read())
-    sp_flat = jax.tree_util.tree_flatten_with_path(
-        jax.device_get(solver.params))[0]
-    mp_flat = jax.tree_util.tree_flatten_with_path(mp_params)[0]
-    assert len(sp_flat) == len(mp_flat) > 0
-    for (path_a, a), (path_b, b) in zip(sp_flat, mp_flat):
-        assert path_a == path_b
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
-                                   rtol=1e-5, atol=1e-6, err_msg=str(path_a))
+    def assert_matches(msgpack_name, sp_params):
+        with open(out_dir / msgpack_name, "rb") as fp:
+            mp_params = serialization.msgpack_restore(fp.read())
+        sp_flat = jax.tree_util.tree_flatten_with_path(
+            jax.device_get(sp_params))[0]
+        mp_flat = jax.tree_util.tree_flatten_with_path(mp_params)[0]
+        assert len(sp_flat) == len(mp_flat) > 0
+        for (path_a, a), (path_b, b) in zip(sp_flat, mp_flat):
+            assert path_a == path_b
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"{msgpack_name}: {path_a}")
+
+    assert_matches("params.msgpack", solver.params)
+
+    # the cached multi-host run (HBM-resident collection, global batch 3 —
+    # NOT divisible by the process count, which only the cached path
+    # supports) must equal the same cached recipe run single-process
+    cfg_c = SolverConfig(max_res_log2=5)
+    cfg_c.train_epochs = 2
+    cfg_c.train_batch_size = 3
+    cfg_c.device_cache = True
+    cfg_c.optimizer = "sgd"
+    cfg_c.momentum = 0.9
+    solver_c = SegSolver(5, str(data_dir), str(tmp_path / "sp_ckpt_c"),
+                         cfg=cfg_c, keep_weights=True, seed=7)
+    solver_c.fit()
+    assert solver_c.cache_active
+    assert_matches("params_cached.msgpack", solver_c.params)
 
     # multi-host checkpointing wrote exactly one checkpoint (process 0)
     assert (out_dir / "ckpt" / "checkpoint_last.params").exists()
