@@ -39,6 +39,12 @@ def parse_args(argv=None):
         help="generate: shard each image's height over N devices on a "
              "(data, space) mesh (spatial parallelism; devices/N batch "
              "groups run data-parallel). N must divide the device count.")
+    parser.add_argument(
+        "--writer", choices=("auto", "native", "cv2"), default="auto",
+        help="generate: host-side pair writer. 'native' is the C++ threaded "
+             "JPEG/PNG encoder (gan_segmentation_tpu.native, GIL-free, "
+             "scales with host cores); 'cv2' is the reference-style "
+             "sequential loop; 'auto' picks native when it builds.")
     return parser.parse_args(argv)
 
 
@@ -63,8 +69,39 @@ def run_evaluate(cfg):
     print(", ".join(f"{name}: {value:.4f}" for name, value in result))
 
 
-def run_generate(cfg, spatial: int = 1):
+def _write_pairs_native(pipeline, n_local: int, dst_dir: str, start: int,
+                        progress) -> None:
+    """Drive the C++ threaded writer with device batches: masks stay
+    bit-packed all the way into the PNG encoder, images are encoded as RGB
+    directly (no BGR flip copy), and encode overlaps device compute."""
+    from ..native import PairWriter
+    with PairWriter() as writer:
+        index = start
+        for imgs, masks, packed in pipeline.generate_batches(n_local):
+            width = imgs.shape[2]
+            for i in range(imgs.shape[0]):
+                writer.submit(join(dst_dir, f"img_{index:06d}.jpg"),
+                              join(dst_dir, f"mask_{index:06d}.png"),
+                              img=imgs[i], mask=masks[i], mask_packed=packed,
+                              mask_width=width)
+                index += 1
+                if progress is not None:
+                    progress.update()
+
+
+def _write_pairs_cv2(pipeline, n_local: int, dst_dir: str, start: int,
+                     progress) -> None:
+    """Reference-style sequential writer loop (`main.py:96-104`)."""
     import cv2
+    for index, (img, mask) in enumerate(pipeline.generate_pairs(n_local)):
+        cv2.imwrite(join(dst_dir, f"img_{start + index:06d}.jpg"),
+                    img[:, :, ::-1])
+        cv2.imwrite(join(dst_dir, f"mask_{start + index:06d}.png"), mask)
+        if progress is not None:
+            progress.update()
+
+
+def run_generate(cfg, spatial: int = 1, writer: str = "auto"):
     solver = build_solver(cfg, keep_weights=False)
     if not solver.is_trained:
         print("train Decoder first!")
@@ -105,12 +142,12 @@ def run_generate(cfg, spatial: int = 1):
             progress = tqdm(total=n_local)
         except ImportError:  # pragma: no cover
             pass
-    for index, (img, mask) in enumerate(pipeline.generate_pairs(n_local)):
-        cv2.imwrite(join(dst_dir, f"img_{start + index:06d}.jpg"),
-                    img[:, :, ::-1])
-        cv2.imwrite(join(dst_dir, f"mask_{start + index:06d}.png"), mask)
-        if progress is not None:
-            progress.update()
+    if writer == "auto":
+        from ..native import native_available
+        writer = "native" if native_available() else "cv2"
+    log.info("pair writer: %s", writer)
+    write = _write_pairs_native if writer == "native" else _write_pairs_cv2
+    write(pipeline, n_local, dst_dir, start, progress)
     if progress is not None:
         progress.close()
     log.info("wrote %d (image, mask) pairs to %s (indices %d..%d)",
@@ -144,7 +181,7 @@ def main(argv=None):
     elif args.action == "evaluate":
         run_evaluate(cfg)
     elif args.action == "generate":
-        run_generate(cfg, spatial=args.spatial)
+        run_generate(cfg, spatial=args.spatial, writer=args.writer)
     else:
         run_annotation(cfg)
 

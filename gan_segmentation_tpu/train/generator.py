@@ -231,11 +231,15 @@ class FusedPipeline:
             z = shard_batch(self.mesh, z)  # batch over ``data`` when it divides
         return self._fused(self._gen_params, self._prepared(), z, nk)
 
-    def generate_pairs(self, n: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        """Yield n (uint8 image HWC, uint8 mask HW) pairs.
+    def generate_batches(self, n: int) -> Iterator[Tuple[np.ndarray, np.ndarray, bool]]:
+        """Yield host batches ``(uint8 imgs (B,H,W,3), uint8 masks, packed)``
+        covering n samples (the last batch is trimmed).
 
         Keeps one batch in flight: the device computes batch i+1 while the
-        host consumes batch i (JAX async dispatch).
+        host consumes batch i (JAX async dispatch).  When ``packed`` the
+        masks are bit-packed along W (8 px/byte, ``np.unpackbits`` order) —
+        the native writer (`native.PairWriter`) consumes that form directly,
+        so the unpacked mask never materializes on host.
         """
         b = self.gen.batch_size
         pending = self.sample_batch(b)
@@ -245,10 +249,15 @@ class FusedPipeline:
             take = min(b, n - produced)
             if produced + take < n:
                 pending = self.sample_batch(b)  # enqueue next before D2H wait
-            imgs = np.asarray(imgs_dev)
-            masks = np.asarray(masks_dev)
-            if self._pack_masks:
-                masks = np.unpackbits(masks, axis=-1)
-            for i in range(take):
-                yield imgs[i], masks[i]
+            imgs = np.asarray(imgs_dev)[:take]
+            masks = np.asarray(masks_dev)[:take]
+            yield imgs, masks, self._pack_masks
             produced += take
+
+    def generate_pairs(self, n: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Yield n (uint8 image HWC, uint8 mask HW) pairs (unpacked masks)."""
+        for imgs, masks, packed in self.generate_batches(n):
+            if packed:
+                masks = np.unpackbits(masks, axis=-1)
+            for i in range(imgs.shape[0]):
+                yield imgs[i], masks[i]

@@ -56,6 +56,21 @@ class TestFusedPipeline:
         assert mask.shape == (32, 32) and mask.dtype == np.uint8
         assert set(np.unique(mask)) <= {0, 1}
 
+    def test_generate_batches_contract(self, trained_setup):
+        """generate_batches keeps masks device-packed (8 px/byte) and trims
+        the last batch; generate_pairs over it matches unpacked shapes."""
+        _, _, solver = trained_setup
+        gen = ImageGenerator(gan="bedrooms", batch_size=4, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        pipe = FusedPipeline(gen, solver)
+        batches = list(pipe.generate_batches(6))
+        assert [b[0].shape[0] for b in batches] == [4, 2]
+        for imgs, masks, packed in batches:
+            assert packed  # res 32 is divisible by 8 -> device bit-packs
+            assert masks.shape == (imgs.shape[0], 32, 4)  # W/8 bytes
+            unpacked = np.unpackbits(masks, axis=-1)
+            assert set(np.unique(unpacked)) <= {0, 1}
+
     def test_spatial_mesh_pipeline(self, trained_setup):
         """Spatial parallelism as a capability (VERDICT r2 #3): the same
         pipeline on a (2, 4) mesh — each image H-sharded over 4 devices —
