@@ -1,0 +1,119 @@
+"""Serving export — freeze inference programs into portable StableHLO
+artifacts (`jax.export`).
+
+The reference's only deployment artifact is a raw mxnet parameter file that
+requires the full model code (and framework) to serve
+(`image_generator.py:20-22`, `lib/utils/utils.py:5-16`). A production TPU
+deployment wants a hermetic unit instead: ONE file holding the compiled
+program *and* the weights (baked in as module constants), loadable in a
+serving process with no model code, no flax, no checkpoint plumbing:
+
+    from gan_segmentation_tpu.core.export import load_artifact
+    serve = load_artifact("generate.stablehlo")
+    images, masks = serve(z, noise_key_data)        # runs under jit
+
+Artifacts are StableHLO + calling-convention metadata (the `jax.export`
+serialization format), so they are forward-compatible across jax releases
+per its compatibility guarantees and can be lowered for platforms the
+exporting host does not have — e.g. export for TPU from a CPU build farm
+with ``platforms=("cpu", "tpu")``.
+
+Two first-class surfaces are exported here:
+- the fused z -> (uint8 image, uint8 mask) generate pipeline
+  (`train/generator.py::FusedPipeline`, SURVEY §3.2), and
+- the DeepLab multi-scale + flip evaluation protocol for a fixed input
+  shape (`train/deeplab_trainer.py::MultiEvalModel`,
+  `lib/core/segmentation.py:207-253`).
+"""
+
+import logging
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax import export as jax_export
+
+log = logging.getLogger(__name__)
+
+KEY_DATA_SHAPE: Tuple[int, ...] = (2,)  # threefry2x32 key data (uint32)
+
+
+def export_callable(fn, example_args: Sequence,
+                    platforms: Optional[Sequence[str]] = None):
+    """Jit + export ``fn`` for the shapes/dtypes of ``example_args``.
+
+    ``platforms``: lowering targets (e.g. ``("cpu", "tpu")``); defaults to
+    the current backend. Weights referenced via closure are embedded in the
+    module as constants — the artifact is self-contained.
+    """
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return jax_export.export(jax.jit(fn), **kwargs)(*example_args)
+
+
+def save_artifact(path: str, fn, example_args: Sequence,
+                  platforms: Optional[Sequence[str]] = None):
+    """Export and serialize to ``path``; returns the ``Exported``."""
+    exported = export_callable(fn, example_args, platforms)
+    data = exported.serialize()
+    with open(path, "wb") as fh:
+        fh.write(data)
+    log.info("serialized %s (%d bytes, platforms=%s, in=%s)", path,
+             len(data), exported.platforms, exported.in_avals)
+    return exported
+
+
+def load_artifact(path: str):
+    """Deserialize an artifact; returns a callable running under jit."""
+    with open(path, "rb") as fh:
+        exported = jax_export.deserialize(fh.read())
+    return exported.call
+
+
+def export_fused_pipeline(pipeline, batch_size: Optional[int] = None,
+                          path: Optional[str] = None,
+                          platforms: Optional[Sequence[str]] = None):
+    """Freeze a trained ``FusedPipeline`` as a serving artifact.
+
+    The exported signature is ``(z (B, latent) f32, key_data (2,) u32) ->
+    (images (B, H, W, 3) u8, masks u8)`` — masks come in the pipeline's
+    wire format (bit-packed 8 px/byte along W when binary, see
+    ``FusedPipeline.generate_batches``). Generator weights and the folded
+    decoder parameters are baked in.
+    """
+    b = batch_size or pipeline.gen.batch_size
+    gen_params = pipeline._gen_params
+    prepared = pipeline._prepared()
+    fused = pipeline._fused
+
+    def serve(z, key_data):
+        return fused(gen_params, prepared, z, jax.random.wrap_key_data(key_data))
+
+    z_spec = jax.ShapeDtypeStruct((b, pipeline.gen.cfg.latent_size),
+                                  np.float32)
+    key_spec = jax.ShapeDtypeStruct(KEY_DATA_SHAPE, np.uint32)
+    if path is None:
+        return export_callable(serve, (z_spec, key_spec), platforms)
+    return save_artifact(path, serve, (z_spec, key_spec), platforms)
+
+
+def export_eval_model(eval_model, batch: int, height: int, width: int,
+                      channels: int, path: Optional[str] = None,
+                      platforms: Optional[Sequence[str]] = None):
+    """Freeze a ``MultiEvalModel`` for one input shape.
+
+    Exported signature: ``images (B, H, W, C) f32 normalized ->
+    scores (B, H, W, nclass) f32`` — the full multi-scale + flip
+    sliding-window protocol with DeepLab weights baked in.
+    """
+    run = eval_model._program(batch, height, width, channels)
+    params, batch_stats = eval_model.params, eval_model.batch_stats
+
+    def serve(images):
+        return run(params, batch_stats, images)
+
+    spec = jax.ShapeDtypeStruct((batch, height, width, channels), np.float32)
+    if path is None:
+        return export_callable(serve, (spec,), platforms)
+    return save_artifact(path, serve, (spec,), platforms)

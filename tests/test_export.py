@@ -1,0 +1,130 @@
+"""Serving export (core/export.py): StableHLO artifact roundtrips.
+
+The artifact must be hermetic — weights baked in — and reproduce the live
+program's outputs exactly after serialize -> deserialize.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_segmentation_tpu.core.export import (export_eval_model,
+                                              export_fused_pipeline,
+                                              load_artifact)
+
+from test_multiscale_eval import build as build_tiny_eval
+
+
+class TestEvalExport:
+    def test_roundtrip_matches_live_program(self, tmp_path):
+        ev = build_tiny_eval(crop=32, base=48, scales=(0.5, 1.0), flip=True)
+        imgs = np.random.RandomState(0).randn(2, 40, 40, 3).astype(np.float32)
+        path = str(tmp_path / "eval.stablehlo")
+        export_eval_model(ev, 2, 40, 40, 3, path)
+        serve = load_artifact(path)
+        live = ev.device_scores_batch(list(imgs))
+        np.testing.assert_array_equal(np.asarray(serve(imgs)),
+                                      np.asarray(live))
+
+    def test_artifact_is_weight_hermetic(self, tmp_path):
+        """Mutating the live params after export must not change the
+        artifact's outputs (weights are module constants)."""
+        ev = build_tiny_eval(crop=32, base=32, scales=(1.0,), flip=False)
+        imgs = np.random.RandomState(1).randn(1, 32, 32, 3).astype(np.float32)
+        path = str(tmp_path / "eval.stablehlo")
+        export_eval_model(ev, 1, 32, 32, 3, path)
+        before = np.asarray(load_artifact(path)(imgs))
+        ev.params = jax.tree_util.tree_map(lambda p: p * 0, ev.params)
+        after = np.asarray(load_artifact(path)(imgs))
+        np.testing.assert_array_equal(before, after)
+        assert not np.allclose(before,
+                               np.asarray(ev.device_scores_batch(list(imgs))))
+
+    def test_multi_platform_artifact(self, tmp_path):
+        """Export for cpu+tpu from the cpu host; artifact still runs here."""
+        from jax import export as jax_export
+        ev = build_tiny_eval(crop=32, base=32, scales=(1.0,), flip=False)
+        path = str(tmp_path / "xplat.stablehlo")
+        export_eval_model(ev, 1, 32, 32, 3, path, platforms=("cpu", "tpu"))
+        with open(path, "rb") as fh:
+            exported = jax_export.deserialize(fh.read())
+        assert set(exported.platforms) == {"cpu", "tpu"}
+        imgs = np.zeros((1, 32, 32, 3), np.float32)
+        assert np.isfinite(np.asarray(exported.call(imgs))).all()
+
+
+@pytest.mark.slow
+class TestFusedPipelineExport:
+    @pytest.fixture(scope="class")
+    def pipeline(self, tmp_path_factory):
+        from util_fixtures import make_annotation_dir
+        from gan_segmentation_tpu.core.config import SolverConfig
+        from gan_segmentation_tpu.train.generator import (FusedPipeline,
+                                                          ImageGenerator)
+        from gan_segmentation_tpu.train.solver import SegSolver
+
+        data = tmp_path_factory.mktemp("data")
+        ckpt = tmp_path_factory.mktemp("ckpt")
+        make_annotation_dir(data, n_samples=4, max_res_log2=5, seed=0)
+        cfg = SolverConfig(max_res_log2=5)
+        cfg.train_epochs = 2
+        solver = SegSolver(5, str(data), str(ckpt), cfg=cfg)
+        solver.fit()
+        gen = ImageGenerator(gan="bedrooms", batch_size=2, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        return FusedPipeline(gen, solver), str(ckpt), str(data)
+
+    def test_roundtrip_matches_fused_program(self, pipeline, tmp_path):
+        pipe, _, _ = pipeline
+        path = str(tmp_path / "generate.stablehlo")
+        export_fused_pipeline(pipe, 2, path)
+        serve = load_artifact(path)
+        z = jax.random.normal(jax.random.PRNGKey(5), (2, 512), jnp.float32)
+        key = jax.random.PRNGKey(9)
+        live_imgs, live_masks = pipe._fused(pipe._gen_params,
+                                            pipe._prepared(), z, key)
+        imgs, masks = serve(np.asarray(z), jax.random.key_data(key))
+        # export lowers through a different jaxpr than the live jit, so XLA
+        # may fuse the bf16 decoder differently: borderline argmax pixels
+        # can flip (cf. the spatial-mesh tolerance). Require near-exact.
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(live_imgs))
+        m1 = np.unpackbits(np.asarray(masks), axis=-1)
+        m2 = np.unpackbits(np.asarray(live_masks), axis=-1)
+        assert np.mean(m1 != m2) < 0.005
+        # the artifact itself is deterministic
+        imgs2, masks2 = serve(np.asarray(z), jax.random.key_data(key))
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
+        np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
+
+    def test_export_cli(self, pipeline, tmp_path):
+        """apps.export generate: config -> artifact -> runs."""
+        from gan_segmentation_tpu.apps import export as export_cli
+
+        _, ckpt, data = pipeline
+        base = tmp_path / "base"
+        base.mkdir()
+        # the CLI reads BASE_DIR/{data,checkpoints}
+        (base / "data").symlink_to(data)
+        (base / "checkpoints").symlink_to(ckpt)
+        cfg_file = tmp_path / "config.yml"
+        cfg_file.write_text(f"""
+BASE_DIR: {base}
+GAN: bedrooms
+GAN_DIR: {tmp_path}/no-models
+GAN_GPU_IDS: [0]
+GAN_BATCH_SIZE_PER_GPU: 2
+SOLVER_GPU_IDS: [0]
+ANNOTATION: segmentation
+GENERATE_NUM: 4
+MAX_RES_LOG2: 5
+""")
+        out = tmp_path / "gen.stablehlo"
+        export_cli.main(["generate", "--config", str(cfg_file),
+                         "-o", str(out), "--batch", "2"])
+        serve = load_artifact(str(out))
+        z = np.zeros((2, 512), np.float32)
+        kd = np.asarray(jax.random.key_data(jax.random.PRNGKey(0)))
+        imgs, masks = serve(z, kd)
+        assert np.asarray(imgs).shape == (2, 32, 32, 3)
+        assert np.asarray(imgs).dtype == np.uint8
