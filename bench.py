@@ -89,7 +89,7 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2, spatial: int = 1, s2d: bool = True,
-            n_block_stages: int = 3) -> float:
+            n_block_stages: int = 3, serving: bool = False) -> float:
     from gan_segmentation_tpu.core.mesh import replicate, spatial_mesh
     mesh = spatial_mesh(spatial)
     fused_raw, gp, dp = build_fused(max_res_log2, s2d=s2d,
@@ -102,16 +102,63 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
     # it each iteration. On the axon remote backend block_until_ready is not
     # a reliable completion barrier; an 8-byte D2H of a value data-dependent
     # on the whole computation is.
-    @jax.jit
-    def fused_sum(gp, dp, z, rng):
-        img, mask = fused_raw(gp, dp, z, rng)
-        return jnp.sum(img.astype(jnp.int32)) + jnp.sum(mask.astype(jnp.int32))
+    if serving:
+        # serving path: measure the roundtripped program+weights BUNDLE
+        # (core/export.py::save_bundle) — weights stay *arguments*, so the
+        # module is KB-scale and compiles like the live jit program. (The
+        # hermetic constants form was measured too: at 1024^2 the ~10^8-byte
+        # constant module blows the remote-compile upload past the 1800 s
+        # watchdog on this tunnel — that negative result is why the bundle
+        # form is the full-size serving format.)
+        import tempfile
 
-    rng = jax.random.PRNGKey(0)
+        from gan_segmentation_tpu.core.export import save_bundle
+        from jax import export as jax_export
+        from flax import serialization
 
-    def launch(i):
-        z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
-        return fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i))
+        weights = {"gp": gp, "dp": dp}
+
+        def serve_fn(w, z, key_data):
+            return fused_raw(w["gp"], w["dp"], z,
+                             jax.random.wrap_key_data(key_data))
+
+        kd0 = jax.random.key_data(jax.random.PRNGKey(0))
+        with tempfile.TemporaryDirectory() as d:
+            save_bundle(d, serve_fn, weights,
+                        (jax.ShapeDtypeStruct((batch, 512), jnp.float32),
+                         jax.ShapeDtypeStruct(kd0.shape, kd0.dtype)))
+            with open(join(d, "module.stablehlo"), "rb") as fh:
+                artifact = jax_export.deserialize(fh.read())
+            with open(join(d, "params.msgpack"), "rb") as fh:
+                raw = serialization.msgpack_restore(fh.read())
+        leaves = ([raw[k] for k in sorted(raw, key=int)]
+                  if isinstance(raw, dict) else list(raw))
+        leaves = [jax.device_put(x) for x in leaves]
+
+        @jax.jit
+        def serve_sum(lv, z, key_data):
+            img, mask = artifact.call(lv, z, key_data)
+            return (jnp.sum(img.astype(jnp.int32))
+                    + jnp.sum(mask.astype(jnp.int32)))
+
+        rng = jax.random.PRNGKey(0)
+
+        def launch(i):
+            z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
+            return serve_sum(leaves, z, jax.random.key_data(
+                jax.random.fold_in(rng, 1000 + i)))
+    else:
+        @jax.jit
+        def fused_sum(gp, dp, z, rng):
+            img, mask = fused_raw(gp, dp, z, rng)
+            return (jnp.sum(img.astype(jnp.int32))
+                    + jnp.sum(mask.astype(jnp.int32)))
+
+        rng = jax.random.PRNGKey(0)
+
+        def launch(i):
+            z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
+            return fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i))
 
     for i in range(warmup):
         int(launch(i))
@@ -167,12 +214,19 @@ def main():
         help="H-shard every image over N devices on a (data, space) mesh "
              "(spatial parallelism); N must divide the device count")
     ap.add_argument(
+        "--serving", action="store_true",
+        help="measure the serialize->deserialize roundtripped StableHLO "
+             "serving artifact (core/export.py) instead of the live jit "
+             "program")
+    ap.add_argument(
         "--watchdog", type=int, default=1800, metavar="SEC",
         help="hard deadline: emit an error JSON line and exit if the "
              "measurement has not completed (0 disables)")
     args = ap.parse_args()
 
     metric = f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px"
+    if args.serving:
+        metric += "_serving"
     if not preflight(metric):
         return
     if args.watchdog:
@@ -185,7 +239,7 @@ def main():
         t.start()
 
     value = measure(args.batch, args.iters, args.max_res_log2,
-                    spatial=args.spatial)
+                    spatial=args.spatial, serving=args.serving)
 
     baseline_file = join(dirname(__file__) or ".", "bench_baseline.json")
     vs_baseline = None

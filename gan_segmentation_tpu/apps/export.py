@@ -31,6 +31,12 @@ def parse_args(argv=None):
     g.add_argument("-o", "--output", default="generate.stablehlo")
     g.add_argument("--batch", type=int, default=0,
                    help="serving batch (default: config batch)")
+    g.add_argument("--bundle", action="store_true",
+                   help="write a program+weights bundle DIRECTORY instead "
+                        "of a single hermetic file — the right form for "
+                        "full-size generators (weights stay arguments, the "
+                        "module stays KB-scale, weights swap without "
+                        "re-export)")
     g.add_argument("--platforms", default=None,
                    help="comma-separated lowering targets, e.g. cpu,tpu")
 
@@ -54,7 +60,8 @@ def _platforms(arg):
 
 
 def export_generate(args):
-    from ..core.export import export_fused_pipeline
+    from ..core.export import (export_fused_pipeline,
+                               export_fused_pipeline_bundle)
     from .main import build_solver
     from ..core.config import load_config_file
     from ..train.generator import FusedPipeline, ImageGenerator
@@ -68,8 +75,12 @@ def export_generate(args):
     netG = ImageGenerator(gan=cfg.GAN, gan_dir=cfg.GAN_DIR, batch_size=batch,
                           max_res_log2=cfg.MAX_RES_LOG2)
     pipeline = FusedPipeline(netG, solver)
-    export_fused_pipeline(pipeline, batch, args.output,
-                          platforms=_platforms(args.platforms))
+    if args.bundle:
+        export_fused_pipeline_bundle(pipeline, batch, args.output,
+                                     platforms=_platforms(args.platforms))
+    else:
+        export_fused_pipeline(pipeline, batch, args.output,
+                              platforms=_platforms(args.platforms))
 
 
 def export_deeplab(args):

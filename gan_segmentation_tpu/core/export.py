@@ -71,6 +71,66 @@ def load_artifact(path: str):
     return exported.call
 
 
+def save_bundle(dir_path: str, fn, params, example_args: Sequence,
+                platforms: Optional[Sequence[str]] = None):
+    """Export ``fn(params, *args)`` as a program+weights BUNDLE directory.
+
+    The hermetic single-file form (`save_artifact`) bakes weights into the
+    module as constants — ideal for small heads, but for big models it
+    bloats the module (every compile re-uploads ~100s of MB) and couples
+    weight updates to re-export. A bundle keeps the weights as *inputs*:
+
+        <dir>/module.stablehlo   the exported program (weights are args)
+        <dir>/params.msgpack     flat list of weight arrays (flax msgpack)
+
+    so the module stays KB-scale, compiles exactly like the live jit
+    program, and weights can be swapped by rewriting params.msgpack alone.
+    Load with :func:`load_bundle`.
+    """
+    import os
+
+    from flax import serialization
+
+    leaves, treedef = jax.tree_util.tree_flatten(params)
+
+    def flat_fn(leaves_list, *args):
+        return fn(jax.tree_util.tree_unflatten(treedef, leaves_list), *args)
+
+    # trace from specs, not the concrete arrays: values belong only in
+    # params.msgpack, and concrete arrays would pin the exporting context's
+    # device/sharding layout into the module
+    leaf_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
+    exported = export_callable(flat_fn, (leaf_specs,) + tuple(example_args),
+                               platforms)
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, "module.stablehlo"), "wb") as fh:
+        fh.write(exported.serialize())
+    with open(os.path.join(dir_path, "params.msgpack"), "wb") as fh:
+        fh.write(serialization.to_bytes([np.asarray(x) for x in leaves]))
+    log.info("serialized bundle %s (%d weight arrays, platforms=%s)",
+             dir_path, len(leaves), exported.platforms)
+    return exported
+
+
+def load_bundle(dir_path: str):
+    """Load a `save_bundle` directory; returns ``callable(*args)`` with the
+    weights bound (no model code needed)."""
+    import os
+
+    from flax import serialization
+
+    with open(os.path.join(dir_path, "module.stablehlo"), "rb") as fh:
+        exported = jax_export.deserialize(fh.read())
+    with open(os.path.join(dir_path, "params.msgpack"), "rb") as fh:
+        raw = serialization.msgpack_restore(fh.read())
+    # flax msgpack stores a Python list as an index-keyed dict
+    leaves = ([raw[k] for k in sorted(raw, key=int)]
+              if isinstance(raw, dict) else list(raw))
+    # weights resident on device once, not re-uploaded per call
+    leaves = [jax.device_put(x) for x in leaves]
+    return lambda *args: exported.call(leaves, *args)
+
+
 def export_fused_pipeline(pipeline, batch_size: Optional[int] = None,
                           path: Optional[str] = None,
                           platforms: Optional[Sequence[str]] = None):
@@ -96,6 +156,28 @@ def export_fused_pipeline(pipeline, batch_size: Optional[int] = None,
     if path is None:
         return export_callable(serve, (z_spec, key_spec), platforms)
     return save_artifact(path, serve, (z_spec, key_spec), platforms)
+
+
+def export_fused_pipeline_bundle(pipeline, batch_size: Optional[int] = None,
+                                 dir_path: str = "generate.bundle",
+                                 platforms: Optional[Sequence[str]] = None):
+    """Bundle form of :func:`export_fused_pipeline` (program + weights dir)
+    — the right choice for the full-size generator, whose ~10^8 bytes of
+    weights would otherwise ride inside the module as constants."""
+    b = batch_size or pipeline.gen.batch_size
+    prepared = pipeline._prepared()
+    fused = pipeline._fused
+    weights = {"gen": pipeline._gen_params, "dec": prepared}
+
+    def serve(w, z, key_data):
+        return fused(w["gen"], w["dec"], z,
+                     jax.random.wrap_key_data(key_data))
+
+    z_spec = jax.ShapeDtypeStruct((b, pipeline.gen.cfg.latent_size),
+                                  np.float32)
+    key_spec = jax.ShapeDtypeStruct(KEY_DATA_SHAPE, np.uint32)
+    return save_bundle(dir_path, serve, weights, (z_spec, key_spec),
+                       platforms)
 
 
 def export_eval_model(eval_model, batch: int, height: int, width: int,

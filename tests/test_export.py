@@ -54,6 +54,40 @@ class TestEvalExport:
         assert np.isfinite(np.asarray(exported.call(imgs))).all()
 
 
+class TestBundle:
+    def test_bundle_roundtrip_and_weight_swap(self, tmp_path):
+        """Bundle keeps weights as inputs: the module is small, outputs
+        match, and rewriting params.msgpack alone changes the outputs."""
+        import os
+
+        from flax import serialization
+
+        from gan_segmentation_tpu.core.export import load_bundle, save_bundle
+
+        params = {"w": jnp.full((3, 3), 2.0), "b": jnp.arange(3.0)}
+
+        def fn(p, x):
+            return x @ p["w"] + p["b"]
+
+        d = str(tmp_path / "bundle")
+        save_bundle(d, fn, params,
+                    (jax.ShapeDtypeStruct((2, 3), np.float32),))
+        x = np.random.RandomState(0).randn(2, 3).astype(np.float32)
+        out = np.asarray(load_bundle(d)(x))
+        np.testing.assert_allclose(out, x @ np.full((3, 3), 2.0) + np.arange(3.0),
+                                   rtol=1e-6)
+        # module stays small: weights live in params.msgpack, not the module
+        assert os.path.getsize(os.path.join(d, "module.stablehlo")) < 20_000
+        # swap weights without re-export (leaf order = tree_flatten order:
+        # dict keys sorted -> ["b", "w"])
+        leaves = [np.arange(3.0, dtype=np.float32) * 0,
+                  np.eye(3, dtype=np.float32)]
+        with open(os.path.join(d, "params.msgpack"), "wb") as fh:
+            fh.write(serialization.to_bytes(leaves))
+        np.testing.assert_allclose(np.asarray(load_bundle(d)(x)), x,
+                                   rtol=1e-6)
+
+
 @pytest.mark.slow
 class TestFusedPipelineExport:
     @pytest.fixture(scope="class")
@@ -96,6 +130,25 @@ class TestFusedPipelineExport:
         imgs2, masks2 = serve(np.asarray(z), jax.random.key_data(key))
         np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
         np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
+
+    def test_bundle_matches_hermetic(self, pipeline, tmp_path):
+        from gan_segmentation_tpu.core.export import (
+            export_fused_pipeline_bundle, load_bundle)
+
+        pipe, _, _ = pipeline
+        hpath = str(tmp_path / "gen.stablehlo")
+        export_fused_pipeline(pipe, 2, hpath)
+        bdir = str(tmp_path / "gen.bundle")
+        export_fused_pipeline_bundle(pipe, 2, bdir)
+        z = np.random.RandomState(3).randn(2, 512).astype(np.float32)
+        kd = np.asarray(jax.random.key_data(jax.random.PRNGKey(4)))
+        h_imgs, h_masks = load_artifact(hpath)(z, kd)
+        b_imgs, b_masks = load_bundle(bdir)(z, kd)
+        # both lower through export; same program modulo where weights live
+        np.testing.assert_array_equal(np.asarray(h_imgs), np.asarray(b_imgs))
+        m1 = np.unpackbits(np.asarray(h_masks), axis=-1)
+        m2 = np.unpackbits(np.asarray(b_masks), axis=-1)
+        assert np.mean(m1 != m2) < 0.005
 
     def test_export_cli(self, pipeline, tmp_path):
         """apps.export generate: config -> artifact -> runs."""
