@@ -72,7 +72,8 @@ def load_artifact(path: str):
 
 
 def save_bundle(dir_path: str, fn, params, example_args: Sequence,
-                platforms: Optional[Sequence[str]] = None):
+                platforms: Optional[Sequence[str]] = None,
+                params_sharding=None, args_shardings=None):
     """Export ``fn(params, *args)`` as a program+weights BUNDLE directory.
 
     The hermetic single-file form (`save_artifact`) bakes weights into the
@@ -86,6 +87,12 @@ def save_bundle(dir_path: str, fn, params, example_args: Sequence,
     so the module stays KB-scale, compiles exactly like the live jit
     program, and weights can be swapped by rewriting params.msgpack alone.
     Load with :func:`load_bundle`.
+
+    Multi-chip serving: pass ``params_sharding`` (one NamedSharding applied
+    to every weight leaf, normally replicated) and ``args_shardings`` (one
+    per example arg, e.g. batch over ``data``) to export an SPMD program —
+    the artifact records the mesh size and must be served on that many
+    devices (`load_bundle(..., params_sharding=...)` places the weights).
     """
     import os
 
@@ -96,12 +103,20 @@ def save_bundle(dir_path: str, fn, params, example_args: Sequence,
     def flat_fn(leaves_list, *args):
         return fn(jax.tree_util.tree_unflatten(treedef, leaves_list), *args)
 
+    jit_kwargs = {}
+    if params_sharding is not None or args_shardings is not None:
+        if args_shardings is None:
+            args_shardings = [None] * len(example_args)
+        # pytree-prefix semantics: one sharding covers the whole leaves list
+        jit_kwargs["in_shardings"] = (params_sharding, *args_shardings)
+
     # trace from specs, not the concrete arrays: values belong only in
     # params.msgpack, and concrete arrays would pin the exporting context's
     # device/sharding layout into the module
     leaf_specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in leaves]
-    exported = export_callable(flat_fn, (leaf_specs,) + tuple(example_args),
-                               platforms)
+    kwargs = {"platforms": tuple(platforms)} if platforms else {}
+    exported = jax_export.export(jax.jit(flat_fn, **jit_kwargs), **kwargs)(
+        leaf_specs, *example_args)
     os.makedirs(dir_path, exist_ok=True)
     with open(os.path.join(dir_path, "module.stablehlo"), "wb") as fh:
         fh.write(exported.serialize())
@@ -112,9 +127,14 @@ def save_bundle(dir_path: str, fn, params, example_args: Sequence,
     return exported
 
 
-def load_bundle(dir_path: str):
+def load_bundle(dir_path: str, params_sharding=None):
     """Load a `save_bundle` directory; returns ``callable(*args)`` with the
-    weights bound (no model code needed)."""
+    weights bound (no model code needed).
+
+    For an SPMD bundle pass ``params_sharding`` (a NamedSharding over a
+    mesh of ``Exported.nr_devices`` devices) so the weights land with the
+    layout the program was exported for; args must be placed by the caller
+    (e.g. `core.mesh.shard_batch`)."""
     import os
 
     from flax import serialization
@@ -127,7 +147,7 @@ def load_bundle(dir_path: str):
     leaves = ([raw[k] for k in sorted(raw, key=int)]
               if isinstance(raw, dict) else list(raw))
     # weights resident on device once, not re-uploaded per call
-    leaves = [jax.device_put(x) for x in leaves]
+    leaves = [jax.device_put(x, params_sharding) for x in leaves]
     return lambda *args: exported.call(leaves, *args)
 
 
@@ -163,7 +183,13 @@ def export_fused_pipeline_bundle(pipeline, batch_size: Optional[int] = None,
                                  platforms: Optional[Sequence[str]] = None):
     """Bundle form of :func:`export_fused_pipeline` (program + weights dir)
     — the right choice for the full-size generator, whose ~10^8 bytes of
-    weights would otherwise ride inside the module as constants."""
+    weights would otherwise ride inside the module as constants.
+
+    If the pipeline carries a mesh (`FusedPipeline(mesh=...)`), the bundle
+    is exported as an SPMD program over it: weights replicated, batch
+    sharded over ``data`` — one artifact serving a whole slice, with the
+    spatial H-shard's halo exchanges compiled in when the mesh has a
+    ``space`` axis."""
     b = batch_size or pipeline.gen.batch_size
     prepared = pipeline._prepared()
     fused = pipeline._fused
@@ -176,8 +202,15 @@ def export_fused_pipeline_bundle(pipeline, batch_size: Optional[int] = None,
     z_spec = jax.ShapeDtypeStruct((b, pipeline.gen.cfg.latent_size),
                                   np.float32)
     key_spec = jax.ShapeDtypeStruct(KEY_DATA_SHAPE, np.uint32)
+    params_sharding = args_shardings = None
+    if pipeline.mesh is not None:
+        from .mesh import data_sharding, replicated_sharding
+        params_sharding = replicated_sharding(pipeline.mesh)
+        args_shardings = (data_sharding(pipeline.mesh, 2),
+                          replicated_sharding(pipeline.mesh))
     return save_bundle(dir_path, serve, weights, (z_spec, key_spec),
-                       platforms)
+                       platforms, params_sharding=params_sharding,
+                       args_shardings=args_shardings)
 
 
 def export_eval_model(eval_model, batch: int, height: int, width: int,

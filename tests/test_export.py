@@ -150,6 +150,46 @@ class TestFusedPipelineExport:
         m2 = np.unpackbits(np.asarray(b_masks), axis=-1)
         assert np.mean(m1 != m2) < 0.005
 
+    def test_spmd_bundle_over_mesh(self, pipeline, tmp_path):
+        """A mesh-carrying pipeline exports an SPMD bundle: 8-device
+        program, weights replicated, batch sharded over ``data`` — and it
+        reproduces the single-device pipeline's outputs."""
+        from jax import export as jax_export
+
+        from gan_segmentation_tpu.core.export import (
+            export_fused_pipeline_bundle, load_bundle)
+        from gan_segmentation_tpu.core.mesh import (data_sharding, make_mesh,
+                                                    replicated_sharding)
+        from gan_segmentation_tpu.train.generator import (FusedPipeline,
+                                                          ImageGenerator)
+
+        pipe_plain, _, _ = pipeline
+        mesh = make_mesh()
+        gen = ImageGenerator(gan="bedrooms", batch_size=8, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        pipe_mesh = FusedPipeline(gen, pipe_plain.solver,
+                                  inference_dtype=None, s2d=False, mesh=mesh)
+        bdir = str(tmp_path / "spmd.bundle")
+        export_fused_pipeline_bundle(pipe_mesh, 8, bdir)
+        with open(f"{bdir}/module.stablehlo", "rb") as fh:
+            assert jax_export.deserialize(fh.read()).nr_devices == 8
+
+        serve = load_bundle(bdir,
+                            params_sharding=replicated_sharding(mesh))
+        z = np.random.RandomState(7).randn(8, 512).astype(np.float32)
+        kd = np.asarray(jax.random.key_data(jax.random.PRNGKey(2)))
+        imgs, masks = serve(jax.device_put(z, data_sharding(mesh, 2)),
+                            jax.device_put(kd, replicated_sharding(mesh)))
+        # reference: the same fused program, unsharded
+        ref_imgs, ref_masks = pipe_mesh._fused(
+            pipe_mesh._gen_params, pipe_mesh._prepared(),
+            jax.device_put(z, data_sharding(mesh, 2)),
+            jax.random.wrap_key_data(jax.device_put(
+                kd, replicated_sharding(mesh))))
+        np.testing.assert_array_equal(np.asarray(imgs), np.asarray(ref_imgs))
+        np.testing.assert_array_equal(np.asarray(masks),
+                                      np.asarray(ref_masks))
+
     def test_export_cli(self, pipeline, tmp_path):
         """apps.export generate: config -> artifact -> runs."""
         from gan_segmentation_tpu.apps import export as export_cli
