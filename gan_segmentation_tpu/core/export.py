@@ -35,7 +35,13 @@ from jax import export as jax_export
 
 log = logging.getLogger(__name__)
 
-KEY_DATA_SHAPE: Tuple[int, ...] = (2,)  # threefry2x32 key data (uint32)
+
+def _key_data_shape() -> Tuple[int, ...]:
+    """Key-data shape of the configured PRNG impl ((2,) for the default
+    threefry2x32) — derived, not hard-coded, so a different
+    ``jax_default_prng_impl`` still exports a matching signature."""
+    return tuple(jax.eval_shape(
+        lambda: jax.random.key_data(jax.random.PRNGKey(0))).shape)
 
 
 def export_callable(fn, example_args: Sequence,
@@ -172,7 +178,7 @@ def export_fused_pipeline(pipeline, batch_size: Optional[int] = None,
 
     z_spec = jax.ShapeDtypeStruct((b, pipeline.gen.cfg.latent_size),
                                   np.float32)
-    key_spec = jax.ShapeDtypeStruct(KEY_DATA_SHAPE, np.uint32)
+    key_spec = jax.ShapeDtypeStruct(_key_data_shape(), np.uint32)
     if path is None:
         return export_callable(serve, (z_spec, key_spec), platforms)
     return save_artifact(path, serve, (z_spec, key_spec), platforms)
@@ -201,7 +207,7 @@ def export_fused_pipeline_bundle(pipeline, batch_size: Optional[int] = None,
 
     z_spec = jax.ShapeDtypeStruct((b, pipeline.gen.cfg.latent_size),
                                   np.float32)
-    key_spec = jax.ShapeDtypeStruct(KEY_DATA_SHAPE, np.uint32)
+    key_spec = jax.ShapeDtypeStruct(_key_data_shape(), np.uint32)
     params_sharding = args_shardings = None
     if pipeline.mesh is not None:
         from .mesh import data_sharding, replicated_sharding

@@ -241,6 +241,8 @@ class FusedPipeline:
         the native writer (`native.PairWriter`) consumes that form directly,
         so the unpacked mask never materializes on host.
         """
+        if n <= 0:
+            return  # e.g. a multi-host process whose share rounded to zero
         b = self.gen.batch_size
         pending = self.sample_batch(b)
         produced = 0
