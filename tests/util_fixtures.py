@@ -35,6 +35,8 @@ def mask_rule(feats):
 
 def make_annotation_dir(db_dir, n_samples=6, max_res_log2=5, seed=0,
                         with_ignore=True):
+    import os
+    os.makedirs(str(db_dir), exist_ok=True)
     imgs, feats = synthesize_samples(n_samples, max_res_log2, seed)
     for i in range(n_samples):
         trimap = mask_rule([f[i] for f in feats])
