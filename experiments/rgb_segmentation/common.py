@@ -73,14 +73,16 @@ def train(args, spec: ExpSpec):
     # transform=None feeds raw uint8; the trainer normalizes ON DEVICE
     # (`deeplab_trainer._device_normalize`) — 4x less host-link traffic per
     # step than uploading normalized f32 (same numbers either way)
+    native_reader = getattr(args, "reader", "cv2") == "native"
     trainset = FFHQHairSegmentation(
         args.input_path, scale_factor=spec.scale_factor,
         train_epoch_len=spec.train_epoch_len, split="train",
         subdir=spec.train_subdir, transform=None,
-        augmentator=train_augmentator)
+        augmentator=train_augmentator, native_reader=native_reader)
     valset = FFHQHairSegmentation(
         args.input_path, scale_factor=spec.scale_factor, split="val",
-        transform=None, augmentator=val_augmentator)
+        transform=None, augmentator=val_augmentator,
+        native_reader=native_reader)
 
     optimizer_params = {"mode": "poly", "baselr": spec.lr,
                         "nepochs": spec.num_epochs,
@@ -106,7 +108,8 @@ def test(args, spec: ExpSpec):
     testset = FFHQHairSegmentation(
         args.input_path, scale_factor=spec.scale_factor, split="val",
         transform=imagenet_transform, augmentator=None,
-        return_path=args.vizualization)
+        return_path=args.vizualization,
+        native_reader=getattr(args, "reader", "cv2") == "native")
     if args.vizualization:
         tester.vizualizate(testset, args.viz_path, suffix="_rgb", save_gt=True)
     else:
@@ -121,6 +124,10 @@ def add_exp_args(parser):
     parser.add_argument("--backbone-weights", type=str, default=None,
                         help="gluoncv resnet50_v1s .params file (ImageNet "
                              "pretrained backbone, converted on load)")
+    parser.add_argument("--reader", choices=["cv2", "native"], default="cv2",
+                        help="host decode path: cv2, or the native C++ "
+                             "reader with the scale factor fused into the "
+                             "JPEG decode (gan_segmentation_tpu.native)")
     parser.add_argument("--crop-size", type=int, default=None)
     parser.add_argument("--base-size", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)

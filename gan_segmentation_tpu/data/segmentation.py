@@ -44,7 +44,7 @@ class SegmentationDataset:
                  augmentator=None, return_path: bool = False,
                  decimation_factor: int = 1, scale_factor: float = 1.0,
                  train_epoch_len: int = -1, max_samples: Optional[int] = None,
-                 rng_seed: Optional[int] = None):
+                 rng_seed: Optional[int] = None, native_reader: bool = False):
         dataset_path = Path(dataset_path)
         if split not in ("train", "test", "val"):
             raise RuntimeError("Unknown dataset split.")
@@ -69,6 +69,21 @@ class SegmentationDataset:
         self.return_path = return_path
         self._rng = random.Random(rng_seed)
         assert len(self.images) == len(self.masks)
+
+        # Opt-in native decode path (gan_segmentation_tpu.native.read_pair):
+        # GIL-free JPEG/PNG decode with the scale factor fused into the JPEG
+        # IDCT when 1/scale_factor is in {1,2,4,8}.  Image pixels at scale<1
+        # deviate from the cv2 decode+INTER_LINEAR pipeline (DCT-domain box
+        # filter vs bilinear) — a data-pipeline choice, not a model-parity
+        # one.  Falls back to cv2 per-item on any decode failure.
+        self._native_denom = 0
+        if native_reader:
+            from gan_segmentation_tpu import native
+            if native.native_available():
+                inv = 1.0 / scale_factor
+                if abs(inv - round(inv)) < 1e-9 and int(round(inv)) in (
+                        1, 2, 4, 8):
+                    self._native_denom = int(round(inv))
 
     # -- domain-specific mask handling -------------------------------------
     def _process_mask(self, mask: np.ndarray) -> np.ndarray:
@@ -95,17 +110,29 @@ class SegmentationDataset:
         if self.split == "train" and self.train_epoch_len > 0:
             index = self._rng.randint(0, len(self.images) - 1)
 
-        img = cv2.imread(self.images[index])
-        assert img is not None, self.images[index]
-        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
-        if self.scale_factor != 1.0:
-            img = cv2.resize(img, (0, 0), fx=self.scale_factor,
-                             fy=self.scale_factor)
-        mask = cv2.imread(self.masks[index], cv2.IMREAD_UNCHANGED)
-        assert mask is not None, self.masks[index]
-        mask = mask.astype(np.int32)
-        mask = cv2.resize(mask, (img.shape[1], img.shape[0]),
-                          interpolation=cv2.INTER_NEAREST)
+        img = mask = None
+        if self._native_denom:
+            try:
+                from gan_segmentation_tpu import native
+                img, mask = native.read_pair(self.images[index],
+                                             self.masks[index],
+                                             self._native_denom)
+                mask = mask.astype(np.int32)
+            except RuntimeError:
+                img = mask = None  # per-item cv2 fallback
+        if img is None:
+            img = cv2.imread(self.images[index])
+            assert img is not None, self.images[index]
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            if self.scale_factor != 1.0:
+                img = cv2.resize(img, (0, 0), fx=self.scale_factor,
+                                 fy=self.scale_factor)
+            mask = cv2.imread(self.masks[index], cv2.IMREAD_UNCHANGED)
+            assert mask is not None, self.masks[index]
+            mask = mask.astype(np.int32)
+        if mask.shape[:2] != img.shape[:2]:
+            mask = cv2.resize(mask, (img.shape[1], img.shape[0]),
+                              interpolation=cv2.INTER_NEAREST)
         mask = self._process_mask(mask)
 
         if self.augmentator is not None:

@@ -1,10 +1,20 @@
 """Native host-side data plane (C++, built on demand, loaded via ctypes).
 
 The reference's host image IO rides OpenCV's C++ core (``cv2.imwrite`` in
-``main.py:100-103``); this package provides the framework's own native
-equivalent: a threaded JPEG/PNG pair writer (``imgio.cc``) that encodes off
-the Python thread, GIL-free, with the device's bit-packed binary-mask format
-unpacked inside the encoder.
+``main.py:100-103``, ``cv2.imread`` in the datasets); this package provides
+the framework's own native equivalents for both directions:
+
+- encode: a threaded JPEG/PNG pair writer (``PairWriter``) that encodes off
+  the Python thread, GIL-free, with the device's bit-packed binary-mask
+  format unpacked inside the encoder;
+- decode: a pair reader (``read_pair``) that fuses the training scale factor
+  into the JPEG decode itself (libjpeg DCT-domain scaling, denom in
+  {1,2,4,8}), emits RGB directly (no BGR flip copy), and releases the GIL so
+  ``--workers`` thread pools scale across host cores like the reference's
+  C++ DataLoader workers.  Opt in via
+  ``SegmentationDataset(native_reader=True)`` / the deeplab CLIs'
+  ``--reader native``.  Measure with ``tools/bench_reader.py`` /
+  ``tools/bench_writer.py``.
 
 Everything degrades gracefully: if the toolchain or image libraries are
 missing, :func:`load_library` returns ``None`` and callers fall back to the
@@ -71,7 +81,7 @@ def load_library():
         log.info("native imgio unavailable (%s); using cv2 fallback", exc)
         return None
     lib.gsio_abi_version.restype = ctypes.c_int
-    if lib.gsio_abi_version() != 1:  # pragma: no cover
+    if lib.gsio_abi_version() != 2:  # pragma: no cover
         log.warning("native imgio ABI mismatch; using cv2 fallback")
         return None
     u8p = ctypes.POINTER(ctypes.c_uint8)
@@ -90,6 +100,16 @@ def load_library():
     lib.gsio_write_png_gray.restype = ctypes.c_int
     lib.gsio_write_png_gray.argtypes = [ctypes.c_char_p, u8p, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int]
+    lib.gsio_read_pair.restype = ctypes.c_void_p
+    lib.gsio_read_pair.argtypes = [ctypes.c_char_p, ctypes.c_char_p,
+                                   ctypes.c_int]
+    lib.gsio_record_dims.restype = ctypes.c_int
+    lib.gsio_record_dims.argtypes = [ctypes.c_void_p,
+                                     ctypes.POINTER(ctypes.c_int)]
+    lib.gsio_record_copy.restype = ctypes.c_int
+    lib.gsio_record_copy.argtypes = [ctypes.c_void_p, u8p, u8p]
+    lib.gsio_record_free.restype = None
+    lib.gsio_record_free.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return _LIB
 
@@ -188,6 +208,51 @@ class PairWriter:
             finally:
                 self._handle = None
         return False
+
+
+def read_pair(img_path=None, mask_path=None, scale_denom: int = 1):
+    """Decode an (image.jpg, mask.png) pair via the native reader.
+
+    Returns ``(img, mask)`` — img as RGB HxWx3 uint8 (or None when
+    ``img_path`` is None), mask as HxW uint8 (or None).  ``scale_denom`` in
+    {1, 2, 4, 8} fuses downscaling into the JPEG decode itself (libjpeg
+    DCT-domain scaling; ~4x less IDCT work at denom 2) and nearest-subsamples
+    the mask on the same src = dst*d grid as ``cv2.INTER_NEAREST``.
+
+    At denom 1 the image decode is bit-identical to ``cv2.imread`` (both ride
+    libjpeg); at denom > 1 image pixels deviate from a decode-then-
+    ``cv2.resize(INTER_LINEAR)`` pipeline (DCT scaling is a box-like filter)
+    — callers opt in via ``SegmentationDataset(native_reader=True)``.
+
+    Raises ``RuntimeError`` on decode failure (caller falls back to cv2).
+    The underlying call releases the GIL, so a thread pool of readers scales
+    across host cores like the reference's C++ DataLoader workers
+    (`lib/core/segmentation.py:33-47`).
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native imgio library unavailable")
+    rec = lib.gsio_read_pair(
+        os.fsencode(img_path) if img_path else None,
+        os.fsencode(mask_path) if mask_path else None, int(scale_denom))
+    if not rec:
+        raise RuntimeError(
+            f"native decode failed: {img_path!r} / {mask_path!r}")
+    try:
+        dims = (ctypes.c_int * 4)()
+        if lib.gsio_record_dims(rec, dims):
+            raise RuntimeError("gsio_record_dims failed")
+        ih, iw, mh, mw = dims[0], dims[1], dims[2], dims[3]
+        img = np.empty((ih, iw, 3), np.uint8) if img_path else None
+        mask = np.empty((mh, mw), np.uint8) if mask_path else None
+        rc = lib.gsio_record_copy(
+            rec, _u8ptr(img) if img is not None else None,
+            _u8ptr(mask) if mask is not None else None)
+        if rc:
+            raise RuntimeError("gsio_record_copy failed")
+    finally:
+        lib.gsio_record_free(rec)
+    return img, mask
 
 
 def write_jpeg(path, img, quality: int = 95):

@@ -227,6 +227,131 @@ class Writer {
   std::vector<std::thread> threads_;
 };
 
+// ---------------------------------------------------------------------------
+// Decode side (the input data plane).  The reference's DataLoader decodes
+// JPEG/PNG through OpenCV's C++ core in worker threads
+// (`lib/core/segmentation.py:33-47` via cv2.imread in the datasets); the
+// framework equivalent adds one thing OpenCV's path cannot do: the training
+// scale factor (FFHQ trains at 0.5 of 1024^2 images, `01/main.py:97-99`) is
+// fused INTO the JPEG decode as libjpeg DCT-domain scaling (scale_denom in
+// {1,2,4,8}) — ~4x less IDCT work at 1/2 scale and no separate resize pass —
+// and the output is RGB directly (no BGR->RGB flip copy).  Masks are decoded
+// from 8-bit gray PNG and nearest-subsampled with cv2.INTER_NEAREST's
+// src = dst*d grid.  Pixel values at denom>1 deviate from cv2's
+// INTER_LINEAR downsample (DCT box-ish filter vs bilinear) — callers opt in.
+// ---------------------------------------------------------------------------
+
+struct Record {
+  std::vector<uint8_t> img;  // RGB HxWx3
+  int img_h = 0, img_w = 0;
+  std::vector<uint8_t> mask;  // gray HxW
+  int mask_h = 0, mask_w = 0;
+};
+
+bool read_jpeg_rgb(const char* path, int scale_denom, std::vector<uint8_t>* out,
+                   int* h, int* w) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return false;
+
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, fp);
+  if (jpeg_read_header(&cinfo, TRUE) != JPEG_HEADER_OK) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(fp);
+    return false;
+  }
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = 1;
+  cinfo.scale_denom = static_cast<unsigned>(scale_denom);
+  jpeg_start_decompress(&cinfo);
+  *h = static_cast<int>(cinfo.output_height);
+  *w = static_cast<int>(cinfo.output_width);
+  const size_t stride = static_cast<size_t>(*w) * 3;
+  out->resize(static_cast<size_t>(*h) * stride);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    JSAMPROW row = out->data() + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(fp);
+  return true;
+}
+
+// 8-bit grayscale PNG -> HxW bytes, nearest-subsampled by `d` (src = dst*d,
+// cv2.INTER_NEAREST's grid for integer downscale).  Rejects non-gray PNGs
+// (palette/RGB masks are not the reference's format) -> caller falls back.
+bool read_png_gray(const char* path, int d, std::vector<uint8_t>* out, int* h,
+                   int* w) {
+  FILE* fp = std::fopen(path, "rb");
+  if (!fp) return false;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) {
+    std::fclose(fp);
+    return false;
+  }
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    std::fclose(fp);
+    return false;
+  }
+  std::vector<uint8_t> full;
+  std::vector<png_bytep> rows;
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return false;
+  }
+  png_init_io(png, fp);
+  png_read_info(png, info);
+  const png_uint_32 fh = png_get_image_height(png, info);
+  const png_uint_32 fw = png_get_image_width(png, info);
+  const int color = png_get_color_type(png, info);
+  const int depth = png_get_bit_depth(png, info);
+  if (color != PNG_COLOR_TYPE_GRAY || fh == 0 || fw == 0) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    std::fclose(fp);
+    return false;
+  }
+  if (depth < 8) png_set_expand_gray_1_2_4_to_8(png);
+  if (depth == 16) png_set_strip_16(png);
+  png_read_update_info(png, info);
+
+  full.resize(static_cast<size_t>(fh) * fw);
+  rows.resize(fh);
+  for (png_uint_32 y = 0; y < fh; ++y)
+    rows[y] = full.data() + static_cast<size_t>(y) * fw;
+  png_read_image(png, rows.data());  // handles interlace internally
+  png_read_end(png, nullptr);
+  png_destroy_read_struct(&png, &info, nullptr);
+  std::fclose(fp);
+
+  *h = static_cast<int>((fh + d - 1) / d);  // ceil: matches libjpeg's dims
+  *w = static_cast<int>((fw + d - 1) / d);
+  if (d == 1) {
+    *out = std::move(full);
+    return true;
+  }
+  out->resize(static_cast<size_t>(*h) * *w);
+  for (int y = 0; y < *h; ++y) {
+    const uint8_t* src = full.data() + static_cast<size_t>(y) * d * fw;
+    uint8_t* dst = out->data() + static_cast<size_t>(y) * *w;
+    for (int x = 0; x < *w; ++x) dst[x] = src[static_cast<size_t>(x) * d];
+  }
+  return true;
+}
+
 }  // namespace
 
 // ---------------------------------------------------------------------------
@@ -235,7 +360,56 @@ class Writer {
 
 extern "C" {
 
-int gsio_abi_version() { return 1; }
+int gsio_abi_version() { return 2; }
+
+// Decode an (image.jpg, mask.png) pair at 1/scale_denom scale (denom in
+// {1,2,4,8}; fused into the JPEG IDCT).  Either path may be NULL/empty.
+// Returns an opaque record (query dims, copy out, then free) or NULL on any
+// decode failure.  Thread-safe; ctypes callers run GIL-free and scale across
+// host cores.
+void* gsio_read_pair(const char* img_path, const char* mask_path,
+                     int scale_denom) {
+  if (scale_denom != 1 && scale_denom != 2 && scale_denom != 4 &&
+      scale_denom != 8)
+    return nullptr;
+  auto rec = std::make_unique<Record>();
+  if (img_path && img_path[0]) {
+    if (!read_jpeg_rgb(img_path, scale_denom, &rec->img, &rec->img_h,
+                       &rec->img_w))
+      return nullptr;
+  }
+  if (mask_path && mask_path[0]) {
+    if (!read_png_gray(mask_path, scale_denom, &rec->mask, &rec->mask_h,
+                       &rec->mask_w))
+      return nullptr;
+  }
+  return rec.release();
+}
+
+// dims4 = {img_h, img_w, mask_h, mask_w} (0 where absent).
+int gsio_record_dims(void* handle, int* dims4) {
+  Record* r = static_cast<Record*>(handle);
+  if (!r || !dims4) return 1;
+  dims4[0] = r->img_h;
+  dims4[1] = r->img_w;
+  dims4[2] = r->mask_h;
+  dims4[3] = r->mask_w;
+  return 0;
+}
+
+// Copies into caller buffers sized from gsio_record_dims (img: HxWx3 RGB,
+// mask: HxW).  NULL out-pointers skip that component.
+int gsio_record_copy(void* handle, uint8_t* img_out, uint8_t* mask_out) {
+  Record* r = static_cast<Record*>(handle);
+  if (!r) return 1;
+  if (img_out && !r->img.empty())
+    std::memcpy(img_out, r->img.data(), r->img.size());
+  if (mask_out && !r->mask.empty())
+    std::memcpy(mask_out, r->mask.data(), r->mask.size());
+  return 0;
+}
+
+void gsio_record_free(void* handle) { delete static_cast<Record*>(handle); }
 
 void* gsio_writer_create(int n_threads, int queue_cap, int jpeg_quality) {
   if (n_threads < 1 || queue_cap < 1 || jpeg_quality < 1 || jpeg_quality > 100)

@@ -108,7 +108,8 @@ def make_optimizer(params, base_lr: float, total_iters: int, wd: float,
 
 def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                drop_last: bool = True, prefetch: int = 2,
-               process_index: int = 0, process_count: int = 1):
+               process_index: int = 0, process_count: int = 1,
+               decode_workers: int = 1):
     """Simple batcher with a background prefetch thread (host-side decode
     overlaps device compute).
 
@@ -116,6 +117,13 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
     with_depth batchify ``Tuple(Tuple(Stack(), Stack()), Stack())``
     (`lib/core/segmentation.py:32-35`) — are stacked component-wise. The
     worker thread is stopped (not abandoned) if the consumer exits early.
+
+    ``decode_workers > 1`` decodes the items of each batch concurrently in a
+    thread pool — the analog of the reference DataLoader's ``num_workers``
+    (`lib/core/segmentation.py:36-47`; cv2 and the native reader both
+    release the GIL during decode). Like the reference's multi-worker
+    loader, this interleaves the dataset/augment RNG streams
+    nondeterministically; use 1 for bit-reproducible runs.
 
     Multi-host: pass ``process_index``/``process_count`` (e.g.
     ``jax.process_index()/jax.process_count()``). Every process draws the
@@ -155,10 +163,21 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                          for j in range(k))
         return np.stack([it[0] for it in items])
 
+    pool = None
+    if decode_workers > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=decode_workers,
+                                  thread_name_prefix="decode")
+
+    def fetch(sel):
+        if pool is not None:
+            return list(pool.map(dataset.__getitem__, [int(i) for i in sel]))
+        return [dataset[int(i)] for i in sel]
+
     def worker():
         for s in range(steps):
             sel = order[s * batch_size:(s + 1) * batch_size]
-            items = [dataset[int(i)] for i in sel]
+            items = fetch(sel)
             imgs = stack_first(items)
             masks = np.stack([it[1] for it in items])
             extra = [it[2] for it in items] if len(items[0]) > 2 else None
@@ -182,6 +201,8 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
             yield item
     finally:
         stop.set()
+        if pool is not None:
+            pool.shutdown(wait=False)
 
 
 class SegmentationTrainer:
@@ -219,6 +240,9 @@ class SegmentationTrainer:
         # batch_size/process_count slice via batch_iter(process_index=...)
         # and shard_batch assembles the global array. Host-side writes
         # (checkpoints, TensorBoard, image dumps) happen on process 0 only.
+        # host-side decode parallelism: the reference's --workers DataLoader
+        # knob (`cmd_args.py:14-16`); 0/1 = decode in the prefetch thread
+        self._decode_workers = max(1, getattr(args, "workers", 1) or 1)
         self._pc = jax.process_count()
         self._pi = jax.process_index()
         if self._pc > 1:
@@ -402,7 +426,8 @@ class SegmentationTrainer:
         for i, (imgs, masks, _) in enumerate(batch_iter(
                 self.trainset, self.batch_size // self._pc, shuffle=True,
                 seed=epoch, process_index=self._pi,
-                process_count=self._pc)):
+                process_count=self._pc,
+                decode_workers=self._decode_workers)):
             global_step = self.iters_per_epoch * epoch + i
             last_step = global_step
             self._rng, rng = jax.random.split(self._rng)
@@ -494,7 +519,8 @@ class SegmentationTrainer:
         for imgs, masks, _ in batch_iter(self.valset, per_proc,
                                          shuffle=False, drop_last=False,
                                          process_index=self._pi,
-                                         process_count=self._pc):
+                                         process_count=self._pc,
+                                         decode_workers=self._decode_workers):
             score(imgs, masks)
         if self._pc > 1:
             # batch_iter drops the ragged multi-host tail; cover it here by

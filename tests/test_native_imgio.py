@@ -112,3 +112,126 @@ class TestPairWriter:
             writer.submit(mask_path=tmp_path / "m.png",
                           mask=np.zeros((4, 4), np.uint8))
         writer.finish()  # idempotent
+
+
+class TestReader:
+    """Decode side (`gsio_read_pair`): the input data plane."""
+
+    def _pair(self, tmp_path, rng, h=40, w=56, name="000000"):
+        import cv2
+        img = _smooth(h, w)
+        mask = rng.integers(0, 3, (h, w), np.uint8)
+        ip = str(tmp_path / f"img_{name}.jpg")
+        mp = str(tmp_path / f"mask_{name}.png")
+        cv2.imwrite(ip, img[:, :, ::-1])
+        cv2.imwrite(mp, mask)
+        return ip, mp, mask
+
+    def test_denom1_bit_identical_to_cv2(self, tmp_path, rng):
+        import cv2
+        ip, mp, mask = self._pair(tmp_path, rng)
+        img_n, mask_n = native.read_pair(ip, mp, 1)
+        img_c = cv2.cvtColor(cv2.imread(ip), cv2.COLOR_BGR2RGB)
+        assert np.array_equal(img_n, img_c)  # both ride libjpeg
+        assert np.array_equal(mask_n, mask)
+
+    @pytest.mark.parametrize("denom", [2, 4])
+    def test_scaled_decode(self, tmp_path, rng, denom):
+        """Fused DCT-domain downscale: exact dims (ceil(x/d)), mask on
+        cv2.INTER_NEAREST's src = dst*d grid, image close to the
+        decode-then-resize pipeline on smooth content."""
+        import cv2
+        ip, mp, mask = self._pair(tmp_path, rng, h=41, w=57)
+        img_n, mask_n = native.read_pair(ip, mp, denom)
+        h, w = -(-41 // denom), -(-57 // denom)
+        assert img_n.shape == (h, w, 3) and mask_n.shape == (h, w)
+        assert np.array_equal(mask_n, mask[::denom, ::denom])
+        full = cv2.cvtColor(cv2.imread(ip), cv2.COLOR_BGR2RGB)
+        ref = cv2.resize(full, (w, h))
+        assert np.abs(img_n.astype(int) - ref.astype(int)).mean() < 8.0
+
+    def test_single_component_and_errors(self, tmp_path, rng):
+        ip, mp, _ = self._pair(tmp_path, rng)
+        img, none = native.read_pair(ip, None, 1)
+        assert img is not None and none is None
+        none2, mask = native.read_pair(None, mp, 1)
+        assert none2 is None and mask is not None
+        with pytest.raises(RuntimeError):
+            native.read_pair(str(tmp_path / "missing.jpg"), None, 1)
+        with pytest.raises(RuntimeError):
+            native.read_pair(ip, None, 3)  # unsupported denom
+
+    def test_rejects_non_gray_mask_png(self, tmp_path, rng):
+        import cv2
+        rgb = rng.integers(0, 255, (8, 8, 3), np.uint8)
+        mp = str(tmp_path / "mask_rgb.png")
+        cv2.imwrite(mp, rgb)
+        with pytest.raises(RuntimeError):
+            native.read_pair(None, mp, 1)
+
+
+class TestDatasetNativeReader:
+    """SegmentationDataset(native_reader=True) plugs the native decode in."""
+
+    def _make_set(self, tmp_path, rng, n=3, h=32, w=32):
+        import cv2
+        d = tmp_path / "val"
+        d.mkdir(exist_ok=True)
+        for i in range(n):
+            img = _smooth(h, w)
+            mask = rng.integers(0, 2, (h, w), np.uint8)
+            cv2.imwrite(str(d / f"img_{i:06d}.jpg"), img[:, :, ::-1])
+            cv2.imwrite(str(d / f"mask_{i:06d}.png"), mask)
+        return tmp_path
+
+    @pytest.mark.parametrize("scale", [1.0, 0.5])
+    def test_matches_cv2_path(self, tmp_path, rng, scale):
+        from gan_segmentation_tpu.data.segmentation import (
+            FFHQHairSegmentation)
+        root = self._make_set(tmp_path, rng)
+        kw = dict(split="val", transform=None, scale_factor=scale)
+        ds_n = FFHQHairSegmentation(root, native_reader=True, **kw)
+        ds_c = FFHQHairSegmentation(root, native_reader=False, **kw)
+        assert ds_n._native_denom == int(round(1 / scale))
+        for i in range(len(ds_c.images)):
+            img_n, mask_n = ds_n[i]
+            img_c, mask_c = ds_c[i]
+            assert img_n.shape == img_c.shape and img_n.dtype == np.uint8
+            assert np.array_equal(mask_n.shape, mask_c.shape)
+            if scale == 1.0:  # identical decode; masks always lossless
+                assert np.array_equal(img_n, img_c)
+                assert np.array_equal(mask_n, mask_c)
+            else:  # DCT-scaled decode deviates from INTER_LINEAR by design
+                assert np.abs(img_n.astype(int) - img_c.astype(int)
+                              ).mean() < 12.0
+
+    def test_unsupported_scale_falls_back(self, tmp_path, rng):
+        from gan_segmentation_tpu.data.segmentation import (
+            FFHQHairSegmentation)
+        root = self._make_set(tmp_path, rng)
+        ds = FFHQHairSegmentation(root, split="val", transform=None,
+                                  scale_factor=0.3, native_reader=True)
+        assert ds._native_denom == 0  # 1/0.3 not in {1,2,4,8} -> cv2 path
+        img, mask = ds[0]
+        assert img.shape[:2] == mask.shape
+
+
+def test_batch_iter_decode_workers_deterministic_set(tmp_path, rng):
+    """Parallel decode returns batches identical to sequential decode when
+    item i is a pure function of i (val split: no sampling/augment RNG)."""
+    import cv2
+    from gan_segmentation_tpu.data.segmentation import FFHQHairSegmentation
+    from gan_segmentation_tpu.train.deeplab_trainer import batch_iter
+    d = tmp_path / "val"
+    d.mkdir()
+    for i in range(8):
+        cv2.imwrite(str(d / f"img_{i:06d}.jpg"), _smooth(16, 16))
+        cv2.imwrite(str(d / f"mask_{i:06d}.png"),
+                    rng.integers(0, 2, (16, 16), np.uint8))
+    ds = FFHQHairSegmentation(tmp_path, split="val", transform=None,
+                              native_reader=True)
+    seq = list(batch_iter(ds, 4, shuffle=False, decode_workers=1))
+    par = list(batch_iter(ds, 4, shuffle=False, decode_workers=4))
+    assert len(seq) == len(par) == 2
+    for (i1, m1, _), (i2, m2, _) in zip(seq, par):
+        assert np.array_equal(i1, i2) and np.array_equal(m1, m2)
