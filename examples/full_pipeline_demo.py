@@ -35,10 +35,14 @@ def main():
     ap.add_argument("--decoder-epochs", type=int, default=10)
     ap.add_argument("--deeplab-epochs", type=int, default=2)
     ap.add_argument("--deeplab-epoch-len", type=int, default=64)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (ignore any attached TPU)")
     args = ap.parse_args()
 
     import cv2
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     from pathlib import Path
 
     from gan_segmentation_tpu.core.config import SolverConfig
