@@ -175,21 +175,30 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
         return [dataset[int(i)] for i in sel]
 
     def worker():
-        for s in range(steps):
-            sel = order[s * batch_size:(s + 1) * batch_size]
-            items = fetch(sel)
-            imgs = stack_first(items)
-            masks = np.stack([it[1] for it in items])
-            extra = [it[2] for it in items] if len(items[0]) > 2 else None
-            while not stop.is_set():
-                try:
-                    q.put((imgs, masks, extra), timeout=0.2)
-                    break
-                except queue.Full:
-                    continue
-            if stop.is_set():
+        try:
+            for s in range(steps):
+                sel = order[s * batch_size:(s + 1) * batch_size]
+                items = fetch(sel)
+                imgs = stack_first(items)
+                masks = np.stack([it[1] for it in items])
+                extra = [it[2] for it in items] if len(items[0]) > 2 else None
+                while not stop.is_set():
+                    try:
+                        q.put((imgs, masks, extra), timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
+                if stop.is_set():
+                    return
+            sentinel = None
+        except BaseException as exc:  # surface decode errors to the consumer
+            sentinel = exc            # (a dead worker must not hang q.get())
+        while not stop.is_set():
+            try:
+                q.put(sentinel, timeout=0.2)
                 return
-        q.put(None)
+            except queue.Full:
+                continue
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -198,6 +207,8 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
             item = q.get()
             if item is None:
                 return
+            if isinstance(item, BaseException):
+                raise item
             yield item
     finally:
         stop.set()

@@ -120,3 +120,40 @@ class TestOriginalAug:
         for _ in range(5):
             ai, am = aug(img, mask)
             assert ai.shape == (32, 32, 3) and am.shape == (32, 32)
+
+
+class TestBatchIterErrors:
+    def test_dataset_error_propagates_instead_of_hanging(self):
+        """A decode failure in the prefetch worker must raise in the
+        consumer, not strand it on q.get() forever (the worker used to die
+        without enqueueing its sentinel)."""
+        from gan_segmentation_tpu.train.deeplab_trainer import batch_iter
+
+        class Broken:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i >= 4:
+                    raise OSError(f"corrupt record {i}")
+                a = np.zeros((4, 4, 3), np.uint8)
+                return a, np.zeros((4, 4), np.int32)
+
+        it = batch_iter(Broken(), 2, shuffle=False, prefetch=1)
+        next(it)  # first batches are fine
+        with np.testing.assert_raises(OSError):
+            for _ in it:
+                pass
+
+    def test_dataset_error_propagates_with_decode_pool(self):
+        from gan_segmentation_tpu.train.deeplab_trainer import batch_iter
+
+        class Broken:
+            def __len__(self):
+                return 4
+
+            def __getitem__(self, i):
+                raise ValueError("always broken")
+
+        with np.testing.assert_raises(ValueError):
+            next(batch_iter(Broken(), 2, shuffle=False, decode_workers=2))
