@@ -112,9 +112,7 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
         # form is the full-size serving format.)
         import tempfile
 
-        from gan_segmentation_tpu.core.export import save_bundle
-        from jax import export as jax_export
-        from flax import serialization
+        from gan_segmentation_tpu.core.export import read_bundle, save_bundle
 
         weights = {"gp": gp, "dp": dp}
 
@@ -127,13 +125,10 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
             save_bundle(d, serve_fn, weights,
                         (jax.ShapeDtypeStruct((batch, 512), jnp.float32),
                          jax.ShapeDtypeStruct(kd0.shape, kd0.dtype)))
-            with open(join(d, "module.stablehlo"), "rb") as fh:
-                artifact = jax_export.deserialize(fh.read())
-            with open(join(d, "params.msgpack"), "rb") as fh:
-                raw = serialization.msgpack_restore(fh.read())
-        leaves = ([raw[k] for k in sorted(raw, key=int)]
-                  if isinstance(raw, dict) else list(raw))
-        leaves = [jax.device_put(x) for x in leaves]
+            # read_bundle, not load_bundle: the checksum wrapper below must
+            # keep the weights as jit ARGUMENTS (closed-over arrays would be
+            # baked into the module as the constants the bundle form avoids)
+            artifact, leaves = read_bundle(d)
 
         @jax.jit
         def serve_sum(lv, z, key_data):
@@ -227,8 +222,13 @@ def main():
     metric = f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px"
     if args.serving:
         metric += "_serving"
+    if args.spatial > 1:
+        # a spatial run spans the whole (data, space) mesh; tag the metric
+        # and normalize per chip below so it can't pass for the 1-chip number
+        metric += f"_spatial{args.spatial}"
     if not preflight(metric):
         return
+    t = None
     if args.watchdog:
         def _expire():
             _emit_error(metric, f"watchdog: no result in {args.watchdog}s "
@@ -240,6 +240,10 @@ def main():
 
     value = measure(args.batch, args.iters, args.max_res_log2,
                     spatial=args.spatial, serving=args.serving)
+    if t is not None:
+        t.cancel()  # a near-deadline success must not race the error line
+    if args.spatial > 1:
+        value /= jax.device_count()  # whole-mesh throughput -> per chip
 
     baseline_file = join(dirname(__file__) or ".", "bench_baseline.json")
     vs_baseline = None

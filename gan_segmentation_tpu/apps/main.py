@@ -102,6 +102,16 @@ def _write_pairs_cv2(pipeline, n_local: int, dst_dir: str, start: int,
 
 
 def run_generate(cfg, spatial: int = 1, writer: str = "auto"):
+    import jax
+    if spatial > 1 and jax.process_count() > 1:
+        # A (data, space) mesh would span processes: the per-process z
+        # streams would be mis-assembled by shard_batch's multi-host path
+        # and the host-side uint8 pulls need every device of a sample
+        # addressable. Fail loudly instead of hanging in a collective.
+        raise SystemExit(
+            "--spatial > 1 is a single-process capability; run spatial "
+            "generation in one process (it already uses every local "
+            "device), or drop --spatial for multi-host generation")
     solver = build_solver(cfg, keep_weights=False)
     if not solver.is_trained:
         print("train Decoder first!")
@@ -110,7 +120,6 @@ def run_generate(cfg, spatial: int = 1, writer: str = "auto"):
     # multi-host: generation is embarrassingly parallel — each process
     # draws its own z stream (seed = process_index) and writes a disjoint
     # contiguous slice of the global index range
-    import jax
     pc, pi = jax.process_count(), jax.process_index()
     n_total = cfg.GENERATE_NUM
     share = (n_total + pc - 1) // pc

@@ -133,14 +133,14 @@ def save_bundle(dir_path: str, fn, params, example_args: Sequence,
     return exported
 
 
-def load_bundle(dir_path: str, params_sharding=None):
-    """Load a `save_bundle` directory; returns ``callable(*args)`` with the
-    weights bound (no model code needed).
+def read_bundle(dir_path: str, params_sharding=None):
+    """Deserialize a `save_bundle` directory into ``(exported, leaves)``.
 
-    For an SPMD bundle pass ``params_sharding`` (a NamedSharding over a
-    mesh of ``Exported.nr_devices`` devices) so the weights land with the
-    layout the program was exported for; args must be placed by the caller
-    (e.g. `core.mesh.shard_batch`)."""
+    Lower-level than :func:`load_bundle` for callers that wrap the program
+    in their own jit and must keep the weights as *arguments* rather than
+    closed-over constants (constants would be baked into the module — the
+    exact bloat the bundle form exists to avoid; see bench.py --serving).
+    """
     import os
 
     from flax import serialization
@@ -154,6 +154,18 @@ def load_bundle(dir_path: str, params_sharding=None):
               if isinstance(raw, dict) else list(raw))
     # weights resident on device once, not re-uploaded per call
     leaves = [jax.device_put(x, params_sharding) for x in leaves]
+    return exported, leaves
+
+
+def load_bundle(dir_path: str, params_sharding=None):
+    """Load a `save_bundle` directory; returns ``callable(*args)`` with the
+    weights bound (no model code needed).
+
+    For an SPMD bundle pass ``params_sharding`` (a NamedSharding over a
+    mesh of ``Exported.nr_devices`` devices) so the weights land with the
+    layout the program was exported for; args must be placed by the caller
+    (e.g. `core.mesh.shard_batch`)."""
+    exported, leaves = read_bundle(dir_path, params_sharding)
     return lambda *args: exported.call(leaves, *args)
 
 

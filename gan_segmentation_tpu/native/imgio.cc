@@ -289,7 +289,9 @@ bool read_jpeg_rgb(const char* path, int scale_denom, std::vector<uint8_t>* out,
 
 // 8-bit grayscale PNG -> HxW bytes, nearest-subsampled by `d` (src = dst*d,
 // cv2.INTER_NEAREST's grid for integer downscale).  Rejects non-gray PNGs
-// (palette/RGB masks are not the reference's format) -> caller falls back.
+// (palette/RGB masks are not the reference's format) AND 16-bit gray
+// (png_set_strip_16 keeps the high byte, which would zero small class
+// ids stored as 16-bit values) -> caller falls back to cv2.
 bool read_png_gray(const char* path, int d, std::vector<uint8_t>* out, int* h,
                    int* w) {
   FILE* fp = std::fopen(path, "rb");
@@ -319,13 +321,12 @@ bool read_png_gray(const char* path, int d, std::vector<uint8_t>* out, int* h,
   const png_uint_32 fw = png_get_image_width(png, info);
   const int color = png_get_color_type(png, info);
   const int depth = png_get_bit_depth(png, info);
-  if (color != PNG_COLOR_TYPE_GRAY || fh == 0 || fw == 0) {
+  if (color != PNG_COLOR_TYPE_GRAY || fh == 0 || fw == 0 || depth == 16) {
     png_destroy_read_struct(&png, &info, nullptr);
     std::fclose(fp);
     return false;
   }
   if (depth < 8) png_set_expand_gray_1_2_4_to_8(png);
-  if (depth == 16) png_set_strip_16(png);
   png_read_update_info(png, info);
 
   full.resize(static_cast<size_t>(fh) * fw);

@@ -194,6 +194,7 @@ class SegSolver:
         if getattr(dataset, "_output_idx", False):
             # (idx, img, mask, features) layout would mis-stack below
             return None
+        feats = masks = None
         try:
             items = [dataset.get_item(i) for i in range(len(dataset))]
             feats = [np.stack([it[2][i] for it in items]).astype(np.float32)
@@ -207,15 +208,38 @@ class SegSolver:
             if total > budget:
                 log.info("device cache skipped: %.2f GB > %.2f GB budget",
                          total / 1024 ** 3, budget / 1024 ** 3)
+                feats = None
+        except Exception as exc:  # fall back to the per-step upload path
+            log.warning("device cache disabled (%s)", exc)
+            feats = None
+        # Multi-host: the cached-vs-per-step choice picks the SPMD program
+        # every process will run — a per-process divergence (one host's
+        # pickle unreadable, say) would put mismatched collectives on the
+        # shared mesh and deadlock the first step. Agree before building.
+        if jax.process_count() > 1:
+            from ..core.distributed import allreduce_sum
+            failed = int(allreduce_sum(np.int32(feats is None)))
+            if failed:
+                if feats is not None:
+                    log.warning("device cache disabled: %d process(es) "
+                                "could not build it", failed)
                 return None
+        elif feats is None:
+            return None
+        try:
             # replicated over the mesh so the cached step composes with DP
             feats_dev = [replicate(self.mesh, f) for f in feats]
             masks_dev = replicate(self.mesh, masks)
             jax.block_until_ready(masks_dev)
             log.info("device cache: %d samples, %.2f GB resident in HBM",
-                     len(items), total / 1024 ** 3)
+                     len(items), sum(f.nbytes for f in feats + [masks])
+                     / 1024 ** 3)
             return feats_dev, masks_dev
-        except Exception as exc:  # fall back to the per-step upload path
+        except Exception as exc:
+            if jax.process_count() > 1:
+                # past the agreement point a silent fallback would diverge
+                # the SPMD program; failing loudly beats a hung collective
+                raise
             log.warning("device cache disabled (%s)", exc)
             return None
 

@@ -56,3 +56,18 @@ class TestSolverSchedules:
         lr = self._solver_lr("steps", epochs_steps=[1, 2])
         np.testing.assert_allclose(float(lr(5)), 1e-4, rtol=1e-4)
         np.testing.assert_allclose(float(lr(15)), 1e-5, rtol=1e-4)  # x factor_d
+
+
+class TestGenerateSpatialGuard:
+    def test_multihost_plus_spatial_refused(self, monkeypatch):
+        """--spatial with multiple processes must fail fast: a process-
+        spanning (data, space) mesh would desync generate's per-process
+        SPMD dispatch and pull non-addressable arrays (apps/main.py)."""
+        import jax
+        import pytest
+
+        from gan_segmentation_tpu.apps.main import run_generate
+
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        with pytest.raises(SystemExit, match="single-process"):
+            run_generate(object(), spatial=2)  # guard fires before cfg use

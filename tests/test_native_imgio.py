@@ -169,6 +169,16 @@ class TestReader:
         with pytest.raises(RuntimeError):
             native.read_pair(None, mp, 1)
 
+    def test_rejects_16bit_gray_mask_png(self, tmp_path, rng):
+        """16-bit gray must fail (-> cv2 fallback), not strip to the high
+        byte: class ids 1/2/3 stored as 16-bit values would all read 0."""
+        import cv2
+        m16 = rng.integers(0, 4, (8, 8)).astype(np.uint16)
+        mp = str(tmp_path / "mask_16.png")
+        assert cv2.imwrite(mp, m16)
+        with pytest.raises(RuntimeError):
+            native.read_pair(None, mp, 1)
+
 
 class TestDatasetNativeReader:
     """SegmentationDataset(native_reader=True) plugs the native decode in."""

@@ -192,3 +192,28 @@ class TestDeviceCache:
                       keep_weights=True)
         ds, _ = s.init_data()
         assert s._try_device_cache(ds) is None
+
+    def test_cache_decision_is_unanimous_across_processes(
+            self, annotation_dir, monkeypatch):
+        """Multi-host: cached-vs-per-step picks the SPMD program; if ANY
+        process fails to build the cache, every process must fall back
+        (divergent programs would deadlock the first collective)."""
+        import jax
+        from gan_segmentation_tpu.core import distributed
+        from gan_segmentation_tpu.core.mesh import make_mesh
+
+        s = SegSolver(5, str(annotation_dir), "/tmp/nonexistent-ckpt-dir-x",
+                      cfg=small_cfg(), mesh=make_mesh(jax.devices()[:1]),
+                      keep_weights=True)
+        ds, _ = s.init_data()
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        # a (simulated) remote process failed -> local success still bails
+        monkeypatch.setattr(distributed, "allreduce_sum",
+                            lambda x: np.int32(x) + 1)
+        assert s._try_device_cache(ds) is None
+
+        # unanimous success -> cache is built
+        monkeypatch.setattr(distributed, "allreduce_sum",
+                            lambda x: np.int32(x))
+        assert s._try_device_cache(ds) is not None
