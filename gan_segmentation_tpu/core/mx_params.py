@@ -51,8 +51,12 @@ class _Reader:
         return vals if len(vals) > 1 else vals[0]
 
     def read_bytes(self, n: int) -> bytes:
+        if n < 0:
+            raise ValueError(f"negative read ({n}): corrupt file")
         out = self.buf[self.pos:self.pos + n]
-        assert len(out) == n, "truncated file"
+        if len(out) != n:
+            raise ValueError(f"truncated file: wanted {n} bytes at offset "
+                             f"{self.pos}, have {len(out)}")
         self.pos += n
         return out
 
@@ -73,7 +77,8 @@ def _valid_tail(r: _Reader, offset: int) -> bool:
 
 def _read_shape(r: _Reader) -> Tuple[int, ...]:
     ndim = r.read("I")
-    assert ndim <= 32, f"implausible ndim {ndim}"
+    if ndim > 32:
+        raise ValueError(f"implausible ndim {ndim}: corrupt file")
     # disambiguate int64 vs uint32 dims by validating what follows
     if _valid_tail(r, 8 * ndim):
         dims = r.read("q" * ndim) if ndim else ()
@@ -83,7 +88,10 @@ def _read_shape(r: _Reader) -> Tuple[int, ...]:
         raise ValueError("cannot determine TShape dim width")
     if ndim == 1:
         dims = (dims,)
-    return tuple(int(d) for d in dims)
+    dims = tuple(int(d) for d in dims)
+    if any(d < 0 for d in dims):
+        raise ValueError(f"negative dim in shape {dims}: corrupt file")
+    return dims
 
 
 def _read_ndarray(r: _Reader) -> np.ndarray:
@@ -91,13 +99,19 @@ def _read_ndarray(r: _Reader) -> np.ndarray:
     if magic in (_V2_MAGIC, _V3_MAGIC):
         r.read("I")
         stype = r.read("i")
-        assert stype == 0, f"only dense storage supported, got stype={stype}"
+        if stype != 0:
+            raise ValueError("only dense storage supported "
+                             f"(got stype={stype}; row_sparse/csr arrays "
+                             "are not checkpoint weights)")
     elif magic == _V1_MAGIC:
         r.read("I")
     shape = _read_shape(r)
     _dev_type = r.read("i")
     _dev_id = r.read("i")
     type_flag = r.read("i")
+    if type_flag not in _DTYPES:
+        raise ValueError(f"unsupported mxnet type_flag {type_flag} "
+                         f"(known: {sorted(_DTYPES)})")
     dtype = _DTYPES[type_flag]
     count = int(np.prod(shape)) if shape else 1
     data = np.frombuffer(r.read_bytes(count * np.dtype(dtype).itemsize),
@@ -110,17 +124,24 @@ def load_mx_ndarray_file(path: str) -> Dict[str, np.ndarray]:
     with open(path, "rb") as fp:
         r = _Reader(fp.read())
     magic = r.read("Q")
-    assert magic == _LIST_MAGIC, f"not an mxnet NDArray file (magic {magic:#x})"
+    if magic != _LIST_MAGIC:
+        raise ValueError(f"not an mxnet NDArray file (magic {magic:#x})")
     reserved = r.read("Q")
-    assert reserved == 0
+    if reserved != 0:
+        raise ValueError(f"bad reserved field {reserved:#x}: corrupt file")
     count = r.read("Q")
-    arrays = [_read_ndarray(r) for _ in range(count)]
-    name_count = r.read("Q")
-    names = []
-    for _ in range(name_count):
-        ln = r.read("Q")
-        names.append(r.read_bytes(ln).decode("utf-8"))
-    assert len(names) == len(arrays), (len(names), len(arrays))
+    try:
+        arrays = [_read_ndarray(r) for _ in range(count)]
+        name_count = r.read("Q")
+        names = []
+        for _ in range(name_count):
+            ln = r.read("Q")
+            names.append(r.read_bytes(ln).decode("utf-8"))
+    except struct.error as exc:  # ran off the end mid-record
+        raise ValueError(f"truncated mxnet file {path!r}: {exc}") from None
+    if len(names) != len(arrays):
+        raise ValueError(f"{len(names)} names for {len(arrays)} arrays: "
+                         "corrupt file")
     out = {}
     for name, arr in zip(names, arrays):
         if name.startswith(("arg:", "aux:")):

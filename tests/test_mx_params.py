@@ -128,3 +128,56 @@ def test_full_file_to_forward(tmp_path):
     assert np.isfinite(np.asarray(rgb)).all()
     # truncation psi came through (0.7, not the 1.0 init)
     np.testing.assert_allclose(np.asarray(params["truncation_psi"]), 0.7)
+
+
+class TestMalformedFiles:
+    """First-contact robustness: corrupt/truncated/unsupported files must
+    fail with a clear ValueError, never an assert (stripped under -O),
+    KeyError, or garbage tensors."""
+
+    def _base(self, tmp_path, name="ok.params"):
+        p = tmp_path / name
+        write_mx_file(p, [np.zeros((2, 3), np.float32)], ["w"])
+        return p
+
+    def test_bad_magic(self, tmp_path):
+        p = tmp_path / "bad.params"
+        p.write_bytes(struct.pack("<QQQ", 0xDEAD, 0, 0))
+        with pytest.raises(ValueError, match="magic"):
+            load_mx_ndarray_file(str(p))
+
+    def test_truncated_mid_tensor(self, tmp_path):
+        p = self._base(tmp_path)
+        data = p.read_bytes()
+        q = tmp_path / "trunc.params"
+        q.write_bytes(data[: len(data) - 40])
+        with pytest.raises(ValueError, match="truncated"):
+            load_mx_ndarray_file(str(q))
+
+    def test_unsupported_dtype_flag(self, tmp_path):
+        p = self._base(tmp_path)
+        data = bytearray(p.read_bytes())
+        # fixed layout for one (2,3) int64-dim V2 tensor: list header 24 +
+        # magic 4 + stype 4 + ndim 4 + dims 16 + ctx 8 = type_flag at 60
+        assert struct.unpack_from("<i", data, 60)[0] == 0  # f32 before patch
+        data[60:64] = struct.pack("<i", 11)
+        q = tmp_path / "odd_dtype.params"
+        q.write_bytes(bytes(data))
+        with pytest.raises(ValueError, match="type_flag 11"):
+            load_mx_ndarray_file(str(q))
+
+    def test_sparse_storage_rejected(self, tmp_path):
+        p = self._base(tmp_path)
+        data = bytearray(p.read_bytes())
+        idx = data.index(struct.pack("<I", 0xF993FAC9))
+        data[idx + 4: idx + 8] = struct.pack("<i", 1)  # row_sparse
+        q = tmp_path / "sparse.params"
+        q.write_bytes(bytes(data))
+        with pytest.raises(ValueError, match="dense"):
+            load_mx_ndarray_file(str(q))
+
+    def test_name_count_mismatch(self, tmp_path):
+        p = tmp_path / "nameless.params"
+        write_mx_file(p, [np.zeros((2,), np.float32)], [])
+        with pytest.raises(ValueError, match="names"):
+            load_mx_ndarray_file(str(p))
