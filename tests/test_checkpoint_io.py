@@ -69,5 +69,5 @@ class TestMxReaderEdges:
     def test_wrong_magic_raises(self, tmp_path):
         p = tmp_path / "notmx.params"
         p.write_bytes(b"\x01\x02\x03\x04\x05\x06\x07\x08rest")
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError):
             load_mx_ndarray_file(str(p))
