@@ -76,6 +76,10 @@ class SolverConfig:
     # select batches with on-device dynamic-slices (SegSolver._try_device_cache)
     device_cache: bool = True
     device_cache_gb: float = 8.0
+    # TPU extension: with the cache resident, run each epoch as ONE scanned
+    # device program (SegSolver._build_train_epoch_cached) instead of one
+    # dispatch per step
+    scan_epochs: bool = True
     num_classes: int = 2
     not_ignore_classes: Optional[Sequence[int]] = None
     cls_type: str = "hair"

@@ -243,8 +243,8 @@ class SegSolver:
             log.warning("device cache disabled (%s)", exc)
             return None
 
-    def _build_train_step_cached(self, tx, batch_size: int):
-        """Train step reading its batch out of the HBM-resident dataset.
+    def _cached_step_body(self, tx, batch_size: int):
+        """Shared body of the HBM-cached train step.
 
         Under multi-device DP the gathered batch is re-sharded onto the
         ``data`` axis (the cache itself is replicated), so the step computes
@@ -288,7 +288,46 @@ class SegSolver:
             acc = jnp.mean((jnp.argmax(logits, -1) == mask).astype(jnp.float32))
             return new_state, loss, acc
 
-        return jax.jit(train_step, donate_argnums=(0,))
+        return train_step
+
+    def _build_train_step_cached(self, tx, batch_size: int):
+        """One dispatch per step (see `_build_train_epoch_cached` for the
+        scanned whole-epoch program that replaces it by default)."""
+        return jax.jit(self._cached_step_body(tx, batch_size),
+                       donate_argnums=(0,))
+
+    def _build_train_epoch_cached(self, tx, batch_size: int):
+        """A WHOLE epoch as one device program: `lax.scan` over the cached
+        step.
+
+        The reference protocol is batch 1 over ~20 samples x 24 epochs =
+        480 dispatches; on this environment each dispatch costs ~26 ms of
+        host-device roundtrip, which rivals the decoder step itself. With
+        the collection HBM-resident there is nothing for the host to do
+        between steps, so the epoch scans on device and one dispatch per
+        EPOCH remains. The PRNG carry splits exactly like the per-step
+        loop (`rng, step = split(rng)` per iteration), so the scanned fit
+        computes the same numbers as the per-step one.
+
+        Returns ``epoch_fn(state, feats_all, masks_all, idx_all, rng) ->
+        (state, rng, losses, accs)`` with ``idx_all`` (steps, batch) int32
+        and per-step ``losses``/``accs`` for the speedometer logs.
+        """
+        step_body = self._cached_step_body(tx, batch_size)
+
+        def epoch_fn(state, feats_all, masks_all, idx_all, rng):
+            def body(carry, idx):
+                state, rng = carry
+                rng, step_rng = jax.random.split(rng)
+                state, loss, acc = step_body(state, feats_all, masks_all,
+                                             idx, step_rng)
+                return (state, rng), (loss, acc)
+
+            (state, rng), (losses, accs) = jax.lax.scan(
+                body, (state, rng), idx_all)
+            return state, rng, losses, accs
+
+        return jax.jit(epoch_fn, donate_argnums=(0,))
 
     def _build_train_step(self, tx):
         model = self.model
@@ -354,10 +393,16 @@ class SegSolver:
                     f"multi-host training: per-process batch "
                     f"({cfg.train_batch_size // pc}) must divide this "
                     f"process's {rows} data-axis rows")
+        scan_epochs = cached is not None and getattr(cfg, "scan_epochs", True)
+        train_step_cached = train_epoch_cached = None
         if cached is not None:
             feats_all, masks_all = cached
-            train_step_cached = self._build_train_step_cached(
-                tx, cfg.train_batch_size)
+            if scan_epochs:
+                train_epoch_cached = self._build_train_epoch_cached(
+                    tx, cfg.train_batch_size)
+            else:
+                train_step_cached = self._build_train_step_cached(
+                    tx, cfg.train_batch_size)
         train_step = self._build_train_step(tx) if cached is None else None
         rng = jax.random.PRNGKey(self.seed)
 
@@ -386,7 +431,31 @@ class SegSolver:
             speed_tic = time.time()
             losses, accs = [], []
             nbatch = 0
-            if cached is not None or pc > 1:
+            if scan_epochs:
+                idx_all = list(epoch_batches(epoch))
+                if idx_all:
+                    state, rng, loss_arr, acc_arr = train_epoch_cached(
+                        state, feats_all, masks_all,
+                        jnp.asarray(np.stack(idx_all), jnp.int32), rng)
+                    # one D2H per epoch: the per-step series feeds the
+                    # reference's every-`display`-iters speedometer lines,
+                    # emitted post-hoc (the epoch ran as ONE program)
+                    loss_arr = np.asarray(loss_arr)
+                    acc_arr = np.asarray(acc_arr)
+                    nbatch = len(loss_arr)
+                    elapsed = max(time.time() - tic, 1e-9)
+                    speed = nbatch * cfg.train_batch_size / elapsed
+                    if display:
+                        for s in range(display, nbatch + 1, display):
+                            log.info("Epoch[%03d] Batch[%04d] Speed: %9.2f "
+                                     "samples/sec accuracy=%f total-loss=%f",
+                                     epoch, s, speed,
+                                     float(acc_arr[s - display:s].mean()),
+                                     float(loss_arr[s - display:s].mean()))
+                    losses = list(loss_arr)
+                    accs = list(acc_arr)
+                batch_source = ()
+            elif cached is not None or pc > 1:
                 batch_source = epoch_batches(epoch)
             else:
                 batch_source = dataset.batches(cfg.train_batch_size,

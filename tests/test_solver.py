@@ -181,6 +181,78 @@ class TestDeviceCache:
             np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                        rtol=1e-5, atol=1e-6)
 
+    def test_scanned_epoch_matches_per_step(self, annotation_dir, tmp_path):
+        """`scan_epochs`: running the whole cached epoch as ONE `lax.scan`
+        program must compute the same numbers as dispatching the cached
+        step per batch (same step body, same index order, same PRNG split
+        order) — asserted on the per-step (loss, acc) trajectory, which any
+        semantic divergence (wrong batch, wrong rng, mis-threaded state)
+        would alter from step 2 on.
+
+        Parameters are NOT compared bitwise: Adam's early updates are
+        ~lr*sign(g) (bias-corrected m/sqrt(v) with v~=0), so a 1-ulp
+        gradient difference between the scan-compiled and separately-jitted
+        programs — mere XLA fusion reassociation — flips whole updates.
+        Measured here: loss/acc bit-identical, params within ~lr after an
+        epoch. The bound below scales with that mechanism.
+        """
+        import jax
+        import jax.numpy as jnp
+        from gan_segmentation_tpu.core.mesh import make_mesh
+        from gan_segmentation_tpu.train.solver import SolverState
+
+        mesh = make_mesh(jax.devices()[:1])
+        cfg = small_cfg()
+        cfg.train_batch_size = 2
+        s = SegSolver(5, str(annotation_dir), str(tmp_path), cfg=cfg,
+                      mesh=mesh, keep_weights=True, seed=7)
+        dataset, ipe = s.init_data()
+        tx = s._make_optimizer(ipe)
+        cached = s._try_device_cache(dataset)
+        assert cached is not None
+        feats_all, masks_all = cached
+
+        def fresh_state():
+            # deep copies: both programs donate their input state, and the
+            # donated buffers alias s.params
+            p = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                       jax.device_get(s.params))
+            bs = jax.tree_util.tree_map(lambda x: jnp.array(np.asarray(x)),
+                                        jax.device_get(s.batch_stats))
+            return SolverState(p, bs, jax.jit(tx.init)(p),
+                               jnp.zeros((), jnp.int32))
+
+        steps = len(dataset) // 2  # full batches only (6 samples -> 3)
+        order = np.arange(len(dataset))
+        np.random.RandomState(7).shuffle(order)
+        idx_all = np.stack([order[i * 2:(i + 1) * 2]
+                            for i in range(steps)]).astype(np.int32)
+
+        step = s._build_train_step_cached(tx, 2)
+        state_a, rng = fresh_state(), jax.random.PRNGKey(7)
+        traj_a = []
+        for i in range(steps):
+            rng, step_rng = jax.random.split(rng)
+            state_a, loss, acc = step(state_a, feats_all, masks_all,
+                                      jnp.asarray(idx_all[i]), step_rng)
+            traj_a.append((float(loss), float(acc)))
+
+        epoch = s._build_train_epoch_cached(tx, 2)
+        state_b, _, losses, accs = epoch(fresh_state(), feats_all, masks_all,
+                                         jnp.asarray(idx_all),
+                                         jax.random.PRNGKey(7))
+        traj_b = list(zip([float(x) for x in losses],
+                          [float(x) for x in accs]))
+
+        np.testing.assert_allclose(np.asarray(traj_a), np.asarray(traj_b),
+                                   rtol=1e-5, atol=0)
+        assert int(np.asarray(state_b.step)) == steps
+        lr_bound = steps * 2.5 * cfg.base_lr  # sign-flip envelope (see doc)
+        for x, y in zip(jax.tree_util.tree_leaves(state_a.params),
+                        jax.tree_util.tree_leaves(state_b.params)):
+            assert float(np.abs(np.asarray(x) - np.asarray(y)).max()) \
+                <= lr_bound
+
     def test_cache_respects_budget(self, annotation_dir):
         import jax
         from gan_segmentation_tpu.core.mesh import make_mesh
