@@ -90,11 +90,27 @@ def train(args, spec: ExpSpec):
     trainer = SegmentationTrainer(args, model, model_cfg, trainset, valset,
                                   optimizer_params, image_dump_interval=50,
                                   mesh=args.mesh)
-    logger.info("Starting Epoch: %d", args.start_epoch)
+    # preemption safety (TPU extension): SIGTERM -> step-granular resume
+    # bundle; a restart in the same run dir picks up mid-epoch, bit-exact
+    start_epoch, start_iter = args.start_epoch, 0
+    if getattr(args, "auto_resume", True):
+        pos = trainer.try_resume()
+        if pos is not None:
+            start_epoch, start_iter = pos
+    if getattr(args, "preempt_save", True):
+        trainer.install_preemption_handler()
+    logger.info("Starting Epoch: %d", start_epoch)
     logger.info("Total Epochs: %d", spec.num_epochs)
-    for epoch in range(args.start_epoch, spec.num_epochs):
-        trainer.training(epoch)
+    for epoch in range(start_epoch, spec.num_epochs):
+        trainer.training(epoch,
+                         start_iter=start_iter if epoch == start_epoch else 0)
+        if trainer.preempted:
+            logger.info("training preempted; continue with "
+                        "`train --resume %s` (same flags) to pick up "
+                        "mid-epoch from the saved bundle", args.run_path)
+            return
         trainer.validation(epoch)
+    trainer.clear_resume_bundle()
 
 
 def test(args, spec: ExpSpec):
@@ -128,6 +144,14 @@ def add_exp_args(parser):
                         help="host decode path: cv2, or the native C++ "
                              "reader with the scale factor fused into the "
                              "JPEG decode (gan_segmentation_tpu.native)")
+    parser.add_argument("--no-auto-resume", dest="auto_resume",
+                        action="store_false", default=True,
+                        help="ignore a mid-epoch resume bundle left by a "
+                             "preempted run")
+    parser.add_argument("--no-preempt-save", dest="preempt_save",
+                        action="store_false", default=True,
+                        help="do not install the SIGTERM checkpoint-and-"
+                             "stop handler")
     parser.add_argument("--crop-size", type=int, default=None)
     parser.add_argument("--base-size", type=int, default=None)
     parser.add_argument("--epochs", type=int, default=None)

@@ -16,6 +16,8 @@ TPU equivalents of the reference's kvstore + SyncBatchNorm.
 """
 
 import math
+import os
+import signal
 import time
 from os.path import isfile, join
 from pathlib import Path
@@ -109,7 +111,7 @@ def make_optimizer(params, base_lr: float, total_iters: int, wd: float,
 def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
                drop_last: bool = True, prefetch: int = 2,
                process_index: int = 0, process_count: int = 1,
-               decode_workers: int = 1):
+               decode_workers: int = 1, start_batch: int = 0):
     """Simple batcher with a background prefetch thread (host-side decode
     overlaps device compute).
 
@@ -132,6 +134,10 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
     process_count`` — disjoint, covering shards whose union is exactly the
     single-process order. Assemble the global array with
     `core.distributed.make_global_batch`.
+
+    ``start_batch`` skips the first N batches of the (deterministic,
+    seed-derived) epoch order WITHOUT decoding them — mid-epoch resume
+    after a preemption fast-forwards to where the interrupted run stopped.
     """
     import queue
     import threading
@@ -176,7 +182,7 @@ def batch_iter(dataset, batch_size: int, shuffle: bool, seed: int = 0,
 
     def worker():
         try:
-            for s in range(steps):
+            for s in range(start_batch, steps):
                 sel = order[s * batch_size:(s + 1) * batch_size]
                 items = fetch(sel)
                 imgs = stack_first(items)
@@ -326,6 +332,10 @@ class SegmentationTrainer:
         self._eval_fn = None
         self.sw = None
         self._rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        # preemption-safe training (TPU extension; the reference is
+        # fail-stop with epoch-granular --weights resume only)
+        self._stop_requested = False
+        self.preempted = False
 
     # ----------------------------------------------------------------- steps
     @staticmethod
@@ -398,7 +408,8 @@ class SegmentationTrainer:
         return float(poly_schedule(self.base_lr, self.total_iters)(step))
 
     # --------------------------------------------------------------- training
-    def training(self, epoch: int, log_interval: int = 25):
+    def training(self, epoch: int, log_interval: int = 25,
+                 start_iter: int = 0):
         if self.sw is None and self._pi == 0:
             self.sw = _make_summary_writer(self.args)
         self.metric.reset()
@@ -434,11 +445,24 @@ class SegmentationTrainer:
                     self.sw.add_scalar("learning_rate",
                                        self.current_lr(step), step)
 
-        for i, (imgs, masks, _) in enumerate(batch_iter(
+        for off, (imgs, masks, _) in enumerate(batch_iter(
                 self.trainset, self.batch_size // self._pc, shuffle=True,
                 seed=epoch, process_index=self._pi,
                 process_count=self._pc,
-                decode_workers=self._decode_workers)):
+                decode_workers=self._decode_workers,
+                start_batch=start_iter)):
+            i = start_iter + off
+            if self._stop_requested:
+                # SIGTERM (TPU preemption notice) between steps: persist a
+                # step-granular resume bundle and stop cleanly. Batch i has
+                # NOT run — the bundle points the resumed run at iter i.
+                drain(last_step)
+                self.save_resume_bundle(epoch, i)
+                self.save_checkpoint()
+                self.preempted = True
+                logger.info("preempted at epoch %d iter %d: resume bundle "
+                            "saved, stopping", epoch, i)
+                return train_loss / max(1, n_pulled)
             global_step = self.iters_per_epoch * epoch + i
             last_step = global_step
             self._rng, rng = jax.random.split(self._rng)
@@ -580,6 +604,80 @@ class SegmentationTrainer:
         save_checkpoint_file(str(path / name), self.state.params,
                              self.state.batch_stats)
         logger.info("saved checkpoint %s", name)
+
+    # ------------------------------------------------- preemption / resume
+    # TPU pods receive SIGTERM ahead of maintenance events and preemptions;
+    # the reference has nothing equivalent (fail-stop, epoch-level
+    # `--weights` resume only, `lib/core/segmentation.py:55-59,153`). Here
+    # a signal requests a stop, `training()` persists a STEP-granular
+    # resume bundle (full optimizer state + PRNG + position) at the next
+    # step boundary, and `try_resume()` continues bit-identically: the
+    # epoch data order is a pure function of the epoch seed, so the resumed
+    # run fast-forwards `batch_iter(start_batch=...)` without decoding, and
+    # the restored PRNG already accounts for the completed steps.
+
+    def install_preemption_handler(self, signals=(signal.SIGTERM,)):
+        def _handler(signum, frame):
+            self._stop_requested = True
+            logger.info("received signal %d: will checkpoint and stop at "
+                        "the next step boundary", signum)
+        for s in signals:
+            signal.signal(s, _handler)
+
+    def _resume_bundle_path(self) -> Path:
+        return Path(self.args.checkpoints_path) / "resume_bundle.msgpack"
+
+    def save_resume_bundle(self, epoch: int, next_iter: int):
+        """Persist the FULL training state (params, BN stats, optimizer
+        state, step counter, PRNG) plus the position to resume from."""
+        if self._pi != 0:  # host-side writes on the primary only
+            return
+        path = self._resume_bundle_path()
+        path.parent.mkdir(parents=True, exist_ok=True)
+        payload = serialization.msgpack_serialize({
+            "state": serialization.to_state_dict(jax.device_get(self.state)),
+            "rng": np.asarray(jax.device_get(self._rng)),
+            "epoch": epoch,
+            "next_iter": next_iter,
+        })
+        tmp = path.with_name(path.name + ".tmp")
+        with open(tmp, "wb") as fp:
+            fp.write(payload)
+        os.replace(tmp, path)  # atomic: a torn write must not poison resume
+        logger.info("saved resume bundle: %s (epoch %d, iter %d)",
+                    path, epoch, next_iter)
+
+    def try_resume(self):
+        """Restore a resume bundle if one exists in the checkpoint dir.
+
+        Returns ``(epoch, next_iter)`` to hand to ``training(epoch,
+        start_iter=next_iter)``, or None. Multi-host: every process reads
+        the same bundle file (shared/mirrored checkpoint dir — the same
+        assumption `load_checkpoint` makes).
+        """
+        path = self._resume_bundle_path()
+        if not path.is_file():
+            return None
+        with open(path, "rb") as fp:
+            d = serialization.msgpack_restore(fp.read())
+        template = jax.device_get(self.state)
+        state = serialization.from_state_dict(template, d["state"])
+        self.state = replicate(self.mesh, state)
+        self._rng = jnp.asarray(d["rng"])
+        epoch, next_iter = int(d["epoch"]), int(d["next_iter"])
+        logger.info("resumed from bundle %s: epoch %d iter %d (step %d)",
+                    path, epoch, next_iter, int(jax.device_get(
+                        self.state.step)))
+        return epoch, next_iter
+
+    def clear_resume_bundle(self):
+        """Drop the bundle once training ran to completion (a later run in
+        the same dir must start fresh, not 'resume' past the end)."""
+        if self._pi != 0:
+            return
+        path = self._resume_bundle_path()
+        if path.is_file():
+            path.unlink()
 
 
 def save_checkpoint_file(path: str, params, batch_stats):

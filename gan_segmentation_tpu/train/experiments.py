@@ -45,6 +45,13 @@ def get_train_arguments():
     parser.add_argument("--weights", type=str, default=None)
     parser.add_argument("--test-batch-size", type=int, default=8)
     parser.add_argument("--no-exp", action="store_true", default=False)
+    # not in the reference CLI: continue a preempted run IN PLACE — reuse
+    # its runs/train_* dir (resume bundle, checkpoints, logs) instead of
+    # creating a fresh one, so the trainer's step-granular `try_resume`
+    # finds the bundle a SIGTERM left behind
+    parser.add_argument("--resume", type=str, default=None, metavar="RUN_DIR",
+                        help="continue a preempted training run in this "
+                             "existing runs/train_* directory")
     return parser
 
 
@@ -68,7 +75,18 @@ def init_exp(run_file_path, add_exp_args, argv=None):
     args = parser.parse_args(argv)
     stdout_log_path = None
 
-    if args.mode == "train":
+    if args.mode == "train" and getattr(args, "resume", None):
+        # continue a preempted run in place: same checkpoints dir (where
+        # the SIGTERM handler left resume_bundle.msgpack), same logs
+        run_path = Path(args.resume)
+        assert (run_path / "checkpoints").is_dir(), \
+            f"--resume expects an existing run dir, got {run_path}"
+        args.logs_path = run_path / "logs"
+        args.run_path = run_path
+        args.checkpoints_path = run_path / "checkpoints"
+        args.logs_path.mkdir(parents=True, exist_ok=True)
+        stdout_log_path = args.logs_path / "train_log.txt"
+    elif args.mode == "train":
         run_file_path = Path(run_file_path)
         exp_path = run_file_path.parent
         run_name = args.mode + datetime.today().strftime("_%Y-%m-%d_%H-%M-%S")

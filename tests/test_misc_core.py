@@ -71,3 +71,42 @@ class TestGenerateSpatialGuard:
         monkeypatch.setattr(jax, "process_count", lambda: 2)
         with pytest.raises(SystemExit, match="single-process"):
             run_generate(object(), spatial=2)  # guard fires before cfg use
+
+
+class TestInitExpResume:
+    """`init_exp --resume RUN_DIR` (preemption continuation, not in the
+    reference CLI): reuse an existing runs/train_* dir so the trainer's
+    step-granular `try_resume` finds the bundle the SIGTERM handler left."""
+
+    @staticmethod
+    def _add_args(parser):
+        parser.add_argument("--input-path", type=str, default=None)
+        return parser
+
+    def test_resume_reuses_run_dir(self, tmp_path):
+        from gan_segmentation_tpu.train.experiments import init_exp
+
+        run_file = tmp_path / "main.py"
+        run_file.write_text("# run file\n")
+        run_dir = tmp_path / "runs" / "train_x"
+        (run_dir / "checkpoints").mkdir(parents=True)
+
+        args = init_exp(str(run_file), self._add_args,
+                        argv=["train", "--resume", str(run_dir)])
+        assert args.run_path == run_dir
+        assert args.checkpoints_path == run_dir / "checkpoints"
+        assert (run_dir / "logs").is_dir()
+        # no NEW run dir was created next to the run file
+        assert sorted(p.name for p in (tmp_path / "runs").iterdir()) \
+            == ["train_x"]
+
+    def test_resume_requires_existing_run_dir(self, tmp_path):
+        import pytest
+
+        from gan_segmentation_tpu.train.experiments import init_exp
+
+        run_file = tmp_path / "main.py"
+        run_file.write_text("# run file\n")
+        with pytest.raises(AssertionError, match="existing run dir"):
+            init_exp(str(run_file), self._add_args,
+                     argv=["train", "--resume", str(tmp_path / "missing")])
