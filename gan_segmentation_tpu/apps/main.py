@@ -15,7 +15,7 @@ import argparse
 import logging
 import sys
 from os import makedirs
-from os.path import isdir, join
+from os.path import isdir, isfile, join
 
 import numpy as np
 
@@ -39,6 +39,12 @@ def parse_args(argv=None):
         help="generate: shard each image's height over N devices on a "
              "(data, space) mesh (spatial parallelism; devices/N batch "
              "groups run data-parallel). N must divide the device count.")
+    parser.add_argument(
+        "--resume", action="store_true", default=False,
+        help="generate: continue an interrupted emission — keep the "
+             "contiguous (image, mask) pairs already on disk, fast-forward "
+             "the seeded z stream past them, and write only the remainder "
+             "(the pairs produced are identical to an uninterrupted run)")
     parser.add_argument(
         "--writer", choices=("auto", "native", "cv2"), default="auto",
         help="generate: host-side pair writer. 'native' is the C++ threaded "
@@ -101,7 +107,29 @@ def _write_pairs_cv2(pipeline, n_local: int, dst_dir: str, start: int,
             progress.update()
 
 
-def run_generate(cfg, spatial: int = 1, writer: str = "auto"):
+def resume_offset(dst_dir: str, start: int, n_local: int,
+                  batch_size: int) -> int:
+    """How many of this process's pairs an interrupted `generate` already
+    wrote, rounded DOWN to a device-batch boundary.
+
+    Counts the contiguous run of complete (img, mask) pairs from ``start``,
+    backs off one pair (the newest file may be a torn write — cv2/native
+    writes are not atomic), and rounds down to a multiple of ``batch_size``
+    so the resumed z stream stays batch-aligned with the original run
+    (batches are fixed-size; sample i always comes from batch i //
+    batch_size). The overlap is re-written with identical bytes."""
+    done = 0
+    while done < n_local:
+        idx = start + done
+        if not (isfile(join(dst_dir, f"img_{idx:06d}.jpg"))
+                and isfile(join(dst_dir, f"mask_{idx:06d}.png"))):
+            break
+        done += 1
+    return (max(0, done - 1) // batch_size) * batch_size
+
+
+def run_generate(cfg, spatial: int = 1, writer: str = "auto",
+                 resume: bool = False):
     import jax
     if spatial > 1 and jax.process_count() > 1:
         # A (data, space) mesh would span processes: the per-process z
@@ -144,11 +172,22 @@ def run_generate(cfg, spatial: int = 1, writer: str = "auto"):
     if not isdir(dst_dir):
         makedirs(dst_dir)
 
+    skip = 0
+    if resume:
+        skip = resume_offset(dst_dir, start, n_local, batch_size)
+        if skip:
+            netG.skip_batches(skip // batch_size)
+            log.info("resume: %d pairs already on disk, fast-forwarded the "
+                     "z stream %d batches; writing indices %d..%d",
+                     skip, skip // batch_size, start + skip,
+                     start + n_local - 1)
+    n_todo = n_local - skip
+
     progress = None
     if pi == 0:
         try:
             from tqdm import tqdm
-            progress = tqdm(total=n_local)
+            progress = tqdm(total=n_todo)
         except ImportError:  # pragma: no cover
             pass
     if writer == "auto":
@@ -156,11 +195,11 @@ def run_generate(cfg, spatial: int = 1, writer: str = "auto"):
         writer = "native" if native_available() else "cv2"
     log.info("pair writer: %s", writer)
     write = _write_pairs_native if writer == "native" else _write_pairs_cv2
-    write(pipeline, n_local, dst_dir, start, progress)
+    write(pipeline, n_todo, dst_dir, start + skip, progress)
     if progress is not None:
         progress.close()
     log.info("wrote %d (image, mask) pairs to %s (indices %d..%d)",
-             n_local, dst_dir, start, start + n_local - 1)
+             n_todo, dst_dir, start + skip, start + n_local - 1)
 
 
 def run_annotation(cfg):
@@ -190,7 +229,8 @@ def main(argv=None):
     elif args.action == "evaluate":
         run_evaluate(cfg)
     elif args.action == "generate":
-        run_generate(cfg, spatial=args.spatial, writer=args.writer)
+        run_generate(cfg, spatial=args.spatial, writer=args.writer,
+                     resume=args.resume)
     else:
         run_annotation(cfg)
 

@@ -92,6 +92,16 @@ class ImageGenerator:
         self._rng, k1, k2 = jax.random.split(self._rng, 3)
         return k1, k2
 
+    def skip_batches(self, k: int):
+        """Advance the z/noise stream past k batches WITHOUT generating
+        them: the stream is a pure function of the seed, so a restarted
+        process can fast-forward to where an interrupted emission stopped
+        and produce the exact same remaining samples (resumable
+        `main.py generate --resume`; the reference regenerates the whole
+        set from scratch, `main.py:75-104`)."""
+        for _ in range(k):
+            self._rng = jax.random.split(self._rng, 3)[0]
+
     def sample_batch(self, batch_size: Optional[int] = None):
         """One device-resident batch: (uint8 imgs, features list, z)."""
         b = batch_size or self.batch_size
