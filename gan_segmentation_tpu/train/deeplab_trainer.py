@@ -684,8 +684,12 @@ def save_checkpoint_file(path: str, params, batch_stats):
     payload = serialization.msgpack_serialize(
         {"params": jax.device_get(params),
          "batch_stats": jax.device_get(batch_stats)})
-    with open(path, "wb") as fp:
+    # atomic: a crash/preemption mid-write must never tear the checkpoint
+    # auto-resume loads next (same discipline as the resume bundle)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as fp:
         fp.write(payload)
+    os.replace(tmp, path)
 
 
 def load_checkpoint(path: str, params_template, bs_template):

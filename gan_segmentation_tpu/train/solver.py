@@ -11,6 +11,7 @@ all-reduce and makes batch-norm statistics global-batch (SyncBN) over ICI.
 """
 
 import logging
+import os
 import time
 from os.path import isdir, join
 from os import makedirs
@@ -613,8 +614,11 @@ class SegSolver:
         payload = serialization.msgpack_serialize(
             {"params": jax.device_get(self.params),
              "batch_stats": jax.device_get(self.batch_stats)})
-        with open(join(self.checkpoints_dir, name), "wb") as fp:
+        # atomic: auto-resume (`load`) must never see a torn checkpoint
+        dst = join(self.checkpoints_dir, name)
+        with open(dst + ".tmp", "wb") as fp:
             fp.write(payload)
+        os.replace(dst + ".tmp", dst)
         log.info("saved checkpoint: %s", name)
 
     def load(self) -> bool:

@@ -71,3 +71,57 @@ class TestMxReaderEdges:
         p.write_bytes(b"\x01\x02\x03\x04\x05\x06\x07\x08rest")
         with pytest.raises(ValueError):
             load_mx_ndarray_file(str(p))
+
+
+class TestAtomicCheckpointWrites:
+    """A crash/preemption DURING a checkpoint write must never tear the
+    file auto-resume loads next: writers emit to `<name>.tmp` and
+    `os.replace` into place. Fault-injected by making the serialized
+    payload unwritable (TypeError inside fp.write, i.e. after open)."""
+
+    class _Boom:
+        pass  # not bytes-like: fp.write raises mid-"write"
+
+    def test_deeplab_checkpoint_file(self, tmp_path, monkeypatch):
+        from flax import serialization
+
+        from gan_segmentation_tpu.train import deeplab_trainer as dt
+
+        path = tmp_path / "last_checkpoint.params"
+        params = {"w": np.ones((2,), np.float32)}
+        dt.save_checkpoint_file(str(path), params, {})
+        good = path.read_bytes()
+
+        monkeypatch.setattr(serialization, "msgpack_serialize",
+                            lambda d: self._Boom())
+        with pytest.raises(TypeError):
+            dt.save_checkpoint_file(str(path), params, {})
+        assert path.read_bytes() == good  # original intact, not truncated
+
+    def test_solver_save(self, tmp_path, monkeypatch):
+        from flax import serialization
+
+        from gan_segmentation_tpu.core.config import SolverConfig
+        from gan_segmentation_tpu.train.solver import SegSolver
+
+        s = SegSolver(5, str(tmp_path / "none"), str(tmp_path / "ck"),
+                      cfg=SolverConfig(max_res_log2=5), keep_weights=True)
+        s.save()
+        path = tmp_path / "ck" / "checkpoint_last.params"
+        good = path.read_bytes()
+
+        monkeypatch.setattr(serialization, "msgpack_serialize",
+                            lambda d: self._Boom())
+        with pytest.raises(TypeError):
+            s.save()
+        assert path.read_bytes() == good
+
+    def test_leftover_tmp_not_picked_up_by_resume(self, tmp_path):
+        """A .tmp orphan from a crash mid-write must not be selected by the
+        extension-filtered checkpoint listing."""
+        from gan_segmentation_tpu.utils.io import list_files_with_ext
+
+        (tmp_path / "checkpoint_last.params").write_bytes(b"ok")
+        (tmp_path / "checkpoint_last.params.tmp").write_bytes(b"torn")
+        files = list_files_with_ext(str(tmp_path), [".params", ".msgpack"])
+        assert [f for f in files if f.endswith(".tmp")] == []
