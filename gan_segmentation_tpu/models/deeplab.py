@@ -134,10 +134,20 @@ class SkipProject(nn.Module):
 
 
 _BACKBONE_LAYERS = {"resnet50": (3, 4, 6, 3), "resnet101": (3, 4, 23, 3),
-                    "resnet152": (3, 8, 36, 3)}
+                    "resnet152": (3, 8, 36, 3),
+                    # the reference's 'resnet50_lsun'/'resnet50_lsun2'
+                    # (`deeplabv3plus.py:93-96`) are the SAME resnet50_v1s
+                    # architecture loading LSUN-finetuned weights from
+                    # hardcoded author-machine paths (`:8-66`); here they are
+                    # the same module and the finetuned weights arrive via
+                    # --backbone-weights (mxnet file, converted on load)
+                    "resnet50_lsun": (3, 4, 6, 3),
+                    "resnet50_lsun2": (3, 4, 6, 3)}
 
 
 def _backbone(kind: str, name: str, dtype=jnp.float32) -> ResNetV1s:
+    if kind not in _BACKBONE_LAYERS:
+        raise ValueError(f"unknown backbone: {kind}")  # `deeplabv3plus.py:102`
     return ResNetV1s(layers=_BACKBONE_LAYERS[kind], dilated=True, dtype=dtype,
                      name=name)
 

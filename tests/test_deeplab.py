@@ -36,6 +36,25 @@ class TestBackbone:
         assert c4.shape == (1, 8, 8, 2048)
 
 
+class TestBackboneAliases:
+    def test_lsun_aliases_are_resnet50(self):
+        """`deeplabv3plus.py:8-66,93-96`: the lsun variants are the same
+        resnet50_v1s architecture with different pretrained weights."""
+        from gan_segmentation_tpu.models.deeplab import (
+            _BACKBONE_LAYERS, _backbone)
+
+        assert _BACKBONE_LAYERS["resnet50_lsun"] \
+            == _BACKBONE_LAYERS["resnet50_lsun2"] \
+            == _BACKBONE_LAYERS["resnet50"]
+        assert _backbone("resnet50_lsun", "backbone").layers == (3, 4, 6, 3)
+
+    def test_unknown_backbone_raises(self):
+        from gan_segmentation_tpu.models.deeplab import _backbone
+
+        with pytest.raises(ValueError, match="unknown backbone"):
+            _backbone("vgg16", "backbone")
+
+
 class TestAugment:
     def test_pad_and_center_crop(self):
         img = np.ones((20, 30, 3), np.uint8) * 100
