@@ -374,6 +374,13 @@ class SegSolver:
         if pc > 1:
             state = replicate(self.mesh, jax.device_get(state))
         cached = self._try_device_cache(dataset)
+        if cached is not None and pc == 1:
+            # commit the state to the mesh BEFORE the first step: the first
+            # call otherwise sees uncommitted host arrays and the second
+            # sees the returned committed NamedShardings — two different
+            # jit cache keys, i.e. a full second XLA compile (30-90 s on
+            # the remote-compile TPU) for the same program
+            state = replicate(self.mesh, jax.device_get(state))
         self.cache_active = cached is not None
         if pc > 1 and cached is None:
             # per-step host feeding: every process uploads its disjoint
@@ -394,7 +401,10 @@ class SegSolver:
                     f"multi-host training: per-process batch "
                     f"({cfg.train_batch_size // pc}) must divide this "
                     f"process's {rows} data-axis rows")
-        scan_epochs = cached is not None and getattr(cfg, "scan_epochs", True)
+        scan_flag = getattr(cfg, "scan_epochs", None)
+        if scan_flag is None:  # auto: see SolverConfig.scan_epochs
+            scan_flag = jax.default_backend() != "cpu"
+        scan_epochs = cached is not None and scan_flag
         train_step_cached = train_epoch_cached = None
         if cached is not None:
             feats_all, masks_all = cached

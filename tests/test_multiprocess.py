@@ -26,7 +26,17 @@ from util_fixtures import make_annotation_dir
 
 WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "mp_worker.py")
-PORT = "12377"
+
+
+def _free_port() -> str:
+    """A currently-free rendezvous port. Fixed constants collide with
+    orphaned workers from a previously killed run (observed: a suite
+    timeout mid-test left gloo workers holding the port, failing the next
+    run's rendezvous)."""
+    import socket
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
 
 
 @pytest.mark.slow
@@ -42,8 +52,9 @@ def test_two_process_fit_matches_single_process(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
 
+    port = _free_port()
     procs = [subprocess.Popen(
-        [sys.executable, WORKER, PORT, str(i), str(data_dir), str(out_dir)],
+        [sys.executable, WORKER, port, str(i), str(data_dir), str(out_dir)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]
     outs = []
@@ -128,8 +139,9 @@ def test_two_process_deeplab_trainer_matches_single_process(tmp_path):
     env.pop("PYTEST_CURRENT_TEST", None)
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    port = _free_port()
     procs = [subprocess.Popen(
-        [sys.executable, worker, "12379", str(i), str(data_dir),
+        [sys.executable, worker, port, str(i), str(data_dir),
          str(out_dir)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(2)]

@@ -166,6 +166,13 @@ class TestDeviceCache:
             cfg.train_epochs = 3
             cfg.train_batch_size = batch
             cfg.device_cache = device_cache
+            # pin the per-step cached program: this test isolates cache-vs-
+            # upload equivalence (bitwise batch content). The scanned-epoch
+            # program computes the same trajectory but XLA fuses it
+            # differently, and a 1-ulp gradient difference flips Adam's
+            # early ~lr*sign(g) updates — that equivalence is asserted on
+            # the (loss, acc) trajectory in test_scanned_epoch_matches_per_step.
+            cfg.scan_epochs = False
             d = tmp_path / sub
             d.mkdir()
             s = SegSolver(5, str(annotation_dir), str(d), cfg=cfg,
