@@ -195,6 +195,8 @@ def preflight(metric, timeout=150):
 
 
 def main():
+    from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat bench runs skip the 30-90s compiles
     ap = argparse.ArgumentParser()
     # batch sweep on the axon v5e (r2): 32→~170, 48→213, 96→306, 112→343,
     # 128→431 samples/sec; ≥136 fails remote compile (tpu_compile_helper

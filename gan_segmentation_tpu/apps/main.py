@@ -223,6 +223,8 @@ def run_annotation(cfg):
 def main(argv=None):
     args = parse_args(argv)
     np.random.seed(0)  # `main.py:29-31`
+    from ..core.jit_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat runs reuse compiled programs
     cfg = load_config_file(args.config)
     if args.action == "train":
         run_train(cfg)

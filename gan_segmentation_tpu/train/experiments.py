@@ -118,6 +118,9 @@ def init_exp(run_file_path, add_exp_args, argv=None):
     if stdout_log_path is not None:
         add_file_handler(stdout_log_path)
 
+    from ..core.jit_cache import enable_persistent_cache
+    enable_persistent_cache()  # train->test->resume runs reuse programs
+
     # device context resolution (`exps_utils.py:70-83`) -> TPU mesh.
     # Honor an explicit JAX_PLATFORMS env request through the config API:
     # environments may force-register a default backend at import time

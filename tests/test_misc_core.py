@@ -110,3 +110,55 @@ class TestInitExpResume:
         with pytest.raises(AssertionError, match="existing run dir"):
             init_exp(str(run_file), self._add_args,
                      argv=["train", "--resume", str(tmp_path / "missing")])
+
+
+class TestPersistentJitCache:
+    """`core.jit_cache.enable_persistent_cache`: CLI entrypoints point jax
+    at an on-disk compilation cache so repeat runs (train -> test ->
+    generate are separate processes) deserialize instead of recompiling."""
+
+    def test_cache_populates_and_second_process_hits(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        prog = (
+            "import os, sys, time\n"
+            "sys.path.insert(0, %r)\n"
+            "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+            "import jax\n"
+            "jax.config.update('jax_platforms', 'cpu')\n"
+            "jax.config.update("
+            "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+            "from gan_segmentation_tpu.core.jit_cache import "
+            "enable_persistent_cache\n"
+            "d = enable_persistent_cache(%r)\n"
+            "assert d is not None\n"
+            "jax.config.update("
+            "'jax_persistent_cache_min_compile_time_secs', 0.0)\n"
+            "import jax.numpy as jnp\n"
+            "t0 = time.time()\n"
+            "jax.jit(lambda x: (x @ x.T).sum())("
+            "jnp.ones((384, 384))).block_until_ready()\n"
+            "print('ELAPSED', time.time() - t0)\n"
+        ) % (repo, str(tmp_path / "cache"))
+        r1 = subprocess.run([sys.executable, "-c", prog],
+                            capture_output=True, text=True, timeout=300)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        entries = list((tmp_path / "cache").iterdir())
+        assert entries, "no cache entries written"
+
+        r2 = subprocess.run([sys.executable, "-c", prog],
+                            capture_output=True, text=True, timeout=300)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        # the second process must not have ADDED entries (pure hits)
+        assert len(list((tmp_path / "cache").iterdir())) == len(entries)
+
+    def test_kill_switch(self, tmp_path, monkeypatch):
+        from gan_segmentation_tpu.core.jit_cache import (
+            enable_persistent_cache)
+
+        monkeypatch.setenv("GAN_SEG_JIT_CACHE", "0")
+        assert enable_persistent_cache(str(tmp_path / "nope")) is None
+        assert not (tmp_path / "nope").exists()
