@@ -25,6 +25,16 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np
 import pytest
 
+# persistent jit cache (core/jit_cache.py): many tests compile the same
+# decoder/DeepLab programs — content-hash-keyed on-disk caching dedupes
+# them within a run and across suite runs on the same machine. The dir is
+# shared with subprocess-spawning tests via the env var.
+from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
+
+_cache_dir = os.environ.setdefault(
+    "GAN_SEG_JIT_CACHE_DIR", "/tmp/gan_seg_test_jit_cache")
+enable_persistent_cache(_cache_dir)
+
 
 @pytest.fixture
 def rng():
