@@ -1,0 +1,150 @@
+"""Int8 quantized inference for the s2d decoder tail (TPU extension).
+
+The v5e MXU executes s8 x s8 -> s32 at twice its bf16 rate (nominal 394
+int8 TOPS vs 197 bf16 TFLOP/s) and int8 activations halve their HBM
+traffic, so a quantized decoder is the natural step below bf16 for the
+z -> (image, mask) serving path — the decoder tail carries ~64% of the
+fused pipeline's FLOPs (XLA cost analysis, BASELINE.md). The reference has
+no quantized path at all (f32 mxnet `.params` serving only,
+`/root/reference/image_generator.py:20-22`); this module is a pure
+extension, reachable from `bench.py --quant int8`.
+
+Scheme — standard post-training symmetric quantization:
+
+- **weights**: per-output-channel int8 (scale = absmax/127), folded from
+  the SAME `prepare_s2d` tree the bf16 path runs (BN already collapsed
+  into the kernels, `ops/s2d_decoder.prepare_s2d`), so no retraining and
+  no second parameter source;
+- **activations**: per-tensor static int8; scales calibrated by running
+  the float path over a few representative feature pyramids and recording
+  each conv input's absmax (the ``conv_hook`` seam in
+  `apply_s2d_prepared` — one jit program per calibration batch);
+- **conv**: s8 x s8 -> s32 (``preferred_element_type``), dequantized in
+  f32 by ``s_in * s_w[c]``, biased, and cast back to the compute dtype for
+  the elementwise tail (LeakyReLU / concat / depth_to_space), which stays
+  exactly the bf16 path's.
+
+argmax masks are robust to quantization noise (tests assert pixel
+agreement and logit error, `tests/test_s2d_quant.py`); validate quality on
+trained weights with `tools/parity_dryrun.py` when real checkpoints exist.
+"""
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .conv import DIMENSION_NUMBERS, _padding, _pair, conv2d
+from .s2d_decoder import apply_s2d_prepared, prepare_s2d
+
+# (kernel key, bias key) pairs a prepared stage may carry
+_SITES: Tuple[Tuple[str, str], ...] = (
+    ("cvt_k", "cvt_b"), ("k0", "b0"), ("k1", "b1"), ("ksc", "bsc"),
+    ("kf", "bf"),
+)
+_BKEY = dict(_SITES)
+_EPS = 1e-12
+
+
+def quantize_weight(k) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """HWIO kernel -> (int8 kernel, f32 per-out-channel scale)."""
+    k = jnp.asarray(k, jnp.float32)
+    absmax = jnp.max(jnp.abs(k), axis=tuple(range(k.ndim - 1)))
+    scale = jnp.maximum(absmax, _EPS) / 127.0
+    q = jnp.clip(jnp.round(k / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def quantize_act(x, inv_scale) -> jnp.ndarray:
+    """Static per-tensor activation quantization (symmetric, saturating)."""
+    q = jnp.round(x.astype(jnp.float32) * inv_scale)
+    return jnp.clip(q, -127, 127).astype(jnp.int8)
+
+
+def conv2d_s8(x, w, *, stride=1, padding=0):
+    """s8 x s8 -> s32 convolution (NHWC/HWIO), exact integer accumulation."""
+    return lax.conv_general_dilated(
+        x, w, _pair(stride), _padding(padding),
+        dimension_numbers=DIMENSION_NUMBERS,
+        preferred_element_type=jnp.int32)
+
+
+def collect_calibration(dec, prepared: Dict, inputs: List[jnp.ndarray],
+                        n_block_stages: int = 3) -> Dict[str, jnp.ndarray]:
+    """absmax of every conv input over ONE batch: ``{"<stage>.<kkey>": f32}``.
+
+    Jit it per calibration batch; reduce across batches on host
+    (:func:`prepare_s2d_int8` does both).
+    """
+    stats: Dict[str, jnp.ndarray] = {}
+
+    def hook(stage, st, x, kkey, bkey, **kw):
+        stats[f"{stage}.{kkey}"] = jnp.max(jnp.abs(
+            x.astype(jnp.float32)))
+        return conv2d(x, st[kkey], st[bkey], **kw)
+
+    apply_s2d_prepared(dec, prepared, inputs, n_block_stages,
+                       conv_hook=hook)
+    return stats
+
+
+def prepare_s2d_int8(dec, variables: Dict,
+                     calib_inputs: Sequence[List[jnp.ndarray]],
+                     n_block_stages: int = 3,
+                     prepared: Optional[Dict] = None) -> Dict:
+    """Quantize a decoder for :func:`apply_s2d_int8`.
+
+    ``calib_inputs``: a few representative feature pyramids (each shaped
+    like the `apply` inputs; batch size need not match serving). Returns a
+    pytree mirroring `prepare_s2d`'s: each stage keeps its conv keys
+    (``k0``/``ksc``/... now int8) and biases (f32), plus per-site
+    ``<kkey>_deq`` (f32 per-channel dequant = s_in * s_w) and
+    ``<kkey>_inv`` (f32 scalar = 1/s_in) tensors the int8 hook reads.
+    """
+    assert len(calib_inputs) > 0, "need at least one calibration pyramid"
+    if prepared is None:
+        prepared = jax.jit(
+            lambda v: prepare_s2d(dec, v, n_block_stages))(variables)
+
+    collect = jax.jit(lambda p, f: collect_calibration(
+        dec, p, f, n_block_stages))
+    stats: Dict[str, float] = {}
+    for feats in calib_inputs:
+        got = jax.device_get(collect(prepared, feats))
+        for site, v in got.items():
+            stats[site] = max(stats.get(site, 0.0), float(v))
+
+    prepared = jax.device_get(prepared)
+    qstages: Dict[str, Dict] = {}
+    for sid, st in prepared["stages"].items():
+        qs: Dict[str, np.ndarray] = {}
+        for kkey, bkey in _SITES:
+            if kkey not in st:
+                continue
+            wq, wscale = jax.device_get(quantize_weight(st[kkey]))
+            s_in = max(stats[f"{sid}.{kkey}"], _EPS) / 127.0
+            qs[kkey] = wq
+            qs[kkey + "_deq"] = np.asarray(wscale * s_in, np.float32)
+            qs[kkey + "_inv"] = np.float32(1.0 / s_in)
+            qs[bkey] = np.asarray(st[bkey], np.float32)
+        qstages[sid] = qs
+    return {"stages": qstages}
+
+
+def _int8_hook(stage, st, x, kkey, bkey, **kw):
+    xq = quantize_act(x, st[kkey + "_inv"])
+    y = conv2d_s8(xq, st[kkey], **kw).astype(jnp.float32)
+    y = y * st[kkey + "_deq"] + st[bkey]
+    return y.astype(x.dtype)
+
+
+def apply_s2d_int8(dec, qprepared: Dict, inputs: List[jnp.ndarray],
+                   n_block_stages: int = 3,
+                   fine_logits: bool = False) -> jnp.ndarray:
+    """Int8 inference-equivalent of ``apply_s2d_prepared`` from a
+    :func:`prepare_s2d_int8` tree — same stage walk, every conv s8xs8->s32,
+    elementwise tail unchanged in the decoder's compute dtype."""
+    return apply_s2d_prepared(dec, qprepared, inputs, n_block_stages,
+                              fine_logits, conv_hook=_int8_hook)

@@ -234,9 +234,21 @@ def prepare_s2d(dec, variables: Dict, n_block_stages: int = 3) -> Dict:
     return {"stages": jax.tree_util.tree_map(cast, stages)}
 
 
+def _conv_site(hook, stage: int, st: Dict, x, kkey: str, bkey: str, **kw):
+    """Every conv in :func:`apply_s2d_prepared` routes through this seam so
+    alternative executions can swap the conv WITHOUT duplicating the stage
+    walk — int8 quantized inference and calibration stat collection live in
+    `ops/quant.py` as hooks. ``hook(stage, st, x, kkey, bkey, **kw)``
+    replaces the conv (bias included) when given."""
+    if hook is not None:
+        return hook(stage, st, x, kkey, bkey, **kw)
+    return conv2d(x, st[kkey], st[bkey], **kw)
+
+
 def apply_s2d_prepared(dec, prepared: Dict, inputs: List[jnp.ndarray],
                        n_block_stages: int = 3,
-                       fine_logits: bool = False) -> jnp.ndarray:
+                       fine_logits: bool = False,
+                       conv_hook=None) -> jnp.ndarray:
     """Inference-equivalent of ``dec.apply(variables, inputs, False)`` from
     a :func:`prepare_s2d` tree (``n_block_stages`` must match).
 
@@ -246,6 +258,10 @@ def apply_s2d_prepared(dec, prepared: Dict, inputs: List[jnp.ndarray],
     last resblock's block output directly. Returns logits in channel-major
     s2d layout (N, H/2, W/2, 4*nc) — ``class_mask_s2d`` for the mask, or
     ``fine_logits=True`` for the standard (N, H, W, nc) tensor.
+
+    ``conv_hook``: optional conv replacement (see :func:`_conv_site`); the
+    ``prepared`` tree must then carry whatever per-site tensors the hook
+    reads (e.g. the int8 kernels + scales of `ops/quant.prepare_s2d_int8`).
     """
     dt = dec.compute_dtype
     num_feats, sres, first_block = _plan(dec, n_block_stages)
@@ -253,24 +269,27 @@ def apply_s2d_prepared(dec, prepared: Dict, inputs: List[jnp.ndarray],
 
     from ..ops.resize import upsample_nearest_2x
 
+    def conv(stage, st, x, kkey, bkey, **kw):
+        return _conv_site(conv_hook, stage, st, x, kkey, bkey, **kw)
+
     prev = None
     for i in range(sres, num_feats - 1):
         st = stages[str(i)]
-        x = _lrelu(conv2d(inputs[i].astype(dt), st["cvt_k"], st["cvt_b"],
-                          padding=1))
+        x = _lrelu(conv(i, st, inputs[i].astype(dt), "cvt_k", "cvt_b",
+                        padding=1))
         if i > sres:
             x = jnp.concatenate([prev, x], axis=-1)
         if i < first_block:
             x = upsample_nearest_2x(x)
-            y = _lrelu(conv2d(x, st["k0"], st["b0"], padding=1))
-            y = _lrelu(conv2d(y, st["k1"], st["b1"], padding=1))
-            sc = (conv2d(x, st["ksc"], st["bsc"], padding=0)
+            y = _lrelu(conv(i, st, x, "k0", "b0", padding=1))
+            y = _lrelu(conv(i, st, y, "k1", "b1", padding=1))
+            sc = (conv(i, st, x, "ksc", "bsc", padding=0)
                   if "ksc" in st else x)
             prev = sc + y
         else:
-            y = _lrelu(conv2d(x, st["k0"], st["b0"], padding=1))
-            y = _lrelu(conv2d(y, st["k1"], st["b1"], padding=1))
-            sc = (conv2d(x, st["ksc"], st["bsc"], padding=0)
+            y = _lrelu(conv(i, st, x, "k0", "b0", padding=1))
+            y = _lrelu(conv(i, st, y, "k1", "b1", padding=1))
+            sc = (conv(i, st, x, "ksc", "bsc", padding=0)
                   if "ksc" in st else jnp.repeat(x, 4, axis=-1))
             blk = sc + y  # (N, r, r, 4*features[i+1]) over the stage-i grid
             # the next resblock needs its fine input; the final stage
@@ -279,10 +298,10 @@ def apply_s2d_prepared(dec, prepared: Dict, inputs: List[jnp.ndarray],
 
     i = num_feats - 1
     st = stages[str(i)]
-    x = _lrelu(conv2d(inputs[i].astype(dt), st["cvt_k"], st["cvt_b"],
-                      stride=2, padding=1))
+    x = _lrelu(conv(i, st, inputs[i].astype(dt), "cvt_k", "cvt_b",
+                    stride=2, padding=1))
     cat = jnp.concatenate([prev, x], axis=-1)
-    logits = conv2d(cat, st["kf"], st["bf"], padding=1)
+    logits = conv(i, st, cat, "kf", "bf", padding=1)
     if fine_logits:
         return depth_to_space(logits).astype(jnp.float32)
     return logits

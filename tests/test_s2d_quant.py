@@ -1,0 +1,113 @@
+"""Int8 quantized s2d decoder inference (`ops/quant.py`).
+
+Random-init decoders are the WORST case for mask agreement (logits hover
+near zero, so tiny noise flips argmax); trained weights separate classes
+and agree harder. Thresholds below hold with margin on that worst case.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gan_segmentation_tpu.core.config import SolverConfig
+from gan_segmentation_tpu.models.decoder import decoder_from_config
+from gan_segmentation_tpu.ops.quant import (
+    apply_s2d_int8, collect_calibration, conv2d_s8, prepare_s2d_int8,
+    quantize_act, quantize_weight,
+)
+from gan_segmentation_tpu.ops.s2d_decoder import (
+    apply_s2d_prepared, class_mask_s2d, prepare_s2d,
+)
+
+
+def _pyramids(cfg, seed, batch=2):
+    return [jnp.asarray(
+        np.random.RandomState(seed + i).randn(
+            batch, 2 ** (i + 2), 2 ** (i + 2), c), jnp.float32)
+        for i, c in enumerate(cfg.in_channels)]
+
+
+def test_quantize_weight_per_channel():
+    rs = np.random.RandomState(0)
+    k = jnp.asarray(rs.randn(3, 3, 8, 16) * rs.rand(16) * 5, jnp.float32)
+    q, scale = quantize_weight(k)
+    assert q.dtype == jnp.int8 and scale.shape == (16,)
+    # every channel uses its full int8 range
+    assert int(jnp.max(jnp.abs(q.astype(jnp.int32)).reshape(-1, 16).max(0)
+                       .min())) == 127
+    np.testing.assert_allclose(np.asarray(q, np.float32) * np.asarray(scale),
+                               np.asarray(k), atol=np.asarray(scale).max())
+
+
+def test_conv2d_s8_exact_integer():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randint(-127, 128, (2, 10, 10, 8)), jnp.int8)
+    w = jnp.asarray(rs.randint(-127, 128, (3, 3, 8, 4)), jnp.int8)
+    got = conv2d_s8(x, w, stride=2, padding=1)
+    ref = jax.lax.conv_general_dilated(
+        x.astype(jnp.int32), w.astype(jnp.int32), (2, 2), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    assert got.dtype == jnp.int32
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_quantize_act_saturates():
+    x = jnp.asarray([-3.0, -1.0, 0.0, 0.5, 2.0], jnp.float32)
+    q = quantize_act(x, jnp.float32(127.0))  # scale 1/127: absmax was 1.0
+    np.testing.assert_array_equal(np.asarray(q), [-127, -127, 0, 64, 127])
+
+
+def test_calibration_covers_every_site():
+    cfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(cfg)
+    feats = _pyramids(cfg, 10, batch=1)
+    v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(0), f, False))(feats)
+    prep = jax.jit(lambda v: prepare_s2d(dec, v, 2))(v)
+    stats = jax.device_get(jax.jit(lambda p, f: collect_calibration(
+        dec, p, f, 2))(prep, feats))
+    # one absmax per conv site of every prepared stage
+    sites = {f"{sid}.{k}" for sid, st in jax.device_get(prep)["stages"].items()
+             for k in st if k in ("cvt_k", "k0", "k1", "ksc", "kf")}
+    assert set(stats) == sites and all(v > 0 for v in stats.values())
+
+
+@pytest.mark.parametrize("n_block", [2, 3])
+def test_int8_close_to_float_path(n_block):
+    cfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(cfg)
+    feats = _pyramids(cfg, 20)
+    v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(0), f, False))(feats)
+    prep = jax.jit(lambda v: prepare_s2d(dec, v, n_block))(v)
+    q = prepare_s2d_int8(dec, v, [_pyramids(cfg, 50), _pyramids(cfg, 60)],
+                         n_block, prepared=prep)
+
+    ref = np.asarray(jax.jit(lambda p, f: apply_s2d_prepared(
+        dec, p, f, n_block, fine_logits=True))(prep, feats))
+    got = np.asarray(jax.jit(lambda p, f: apply_s2d_int8(
+        dec, p, f, n_block, fine_logits=True))(q, feats))
+
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.06, rel  # measured ~0.023 on this worst case
+    agree = (got.argmax(-1) == ref.argmax(-1)).mean()
+    assert agree > 0.97, agree  # measured ~0.991
+
+    # the s2d-layout mask path composes with the quantized logits
+    ls2d = jax.jit(lambda p, f: apply_s2d_int8(dec, p, f, n_block))(q, feats)
+    m = np.asarray(class_mask_s2d(ls2d, cfg.num_classes))
+    assert m.shape == ref.shape[:3] and m.dtype == np.uint8
+    assert (m == ref.argmax(-1)).mean() > 0.97
+
+
+def test_qtree_is_a_plain_jit_argument():
+    """The quantized tree crosses jit as an argument (serving form: weights
+    stay inputs, never baked-in constants — same rule as the bundle export)."""
+    cfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(cfg)
+    feats = _pyramids(cfg, 30, batch=1)
+    v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(1), f, False))(feats)
+    q = prepare_s2d_int8(dec, v, [_pyramids(cfg, 70, batch=1)], 2)
+    leaves = jax.tree_util.tree_leaves(q)
+    assert any(l.dtype == np.int8 for l in leaves)
+    out = jax.jit(lambda p, f: apply_s2d_int8(dec, p, f, 2))(q, feats)
+    assert np.isfinite(np.asarray(out, np.float32)).all()
