@@ -99,6 +99,30 @@ def test_int8_close_to_float_path(n_block):
     assert (m == ref.argmax(-1)).mean() > 0.97
 
 
+def test_int8_bundle_roundtrip(tmp_path):
+    """The quantized decoder composes with the serving BUNDLE export
+    (core/export.py::save_bundle): int8 kernels/scales ride params.msgpack,
+    the StableHLO module keeps them as arguments, and the roundtripped
+    program reproduces the live masks exactly."""
+    from gan_segmentation_tpu.core.export import load_bundle, save_bundle
+
+    cfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(cfg)
+    feats = _pyramids(cfg, 40, batch=1)
+    v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(2), f, False))(feats)
+    q = prepare_s2d_int8(dec, v, [_pyramids(cfg, 80, batch=1)], 2)
+
+    def serve(qt, f):
+        return class_mask_s2d(apply_s2d_int8(dec, qt, f, 2),
+                              cfg.num_classes)
+
+    specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in feats]
+    save_bundle(str(tmp_path / "b"), serve, q, (specs,))
+    run = load_bundle(str(tmp_path / "b"))
+    live = np.asarray(jax.jit(serve)(q, feats))
+    np.testing.assert_array_equal(np.asarray(run(feats)), live)
+
+
 def test_qtree_is_a_plain_jit_argument():
     """The quantized tree crosses jit as an argument (serving form: weights
     stay inputs, never baked-in constants — same rule as the bundle export)."""

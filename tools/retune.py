@@ -25,20 +25,25 @@ sys.path.insert(0, join(dirname(__file__), ".."))
 
 
 def sweep(batches, tails, max_res_log2, iters, include_no_s2d=True,
-          out=sys.stdout):
+          include_quant=True, out=sys.stdout):
     from bench import measure
 
     results = []
-    configs = [(b, t, True) for b in batches for t in tails]
+    configs = [(b, t, True, None) for b in batches for t in tails]
     if include_no_s2d:
-        configs += [(b, 0, False) for b in batches]
-    for batch, tail, s2d in configs:
+        configs += [(b, 0, False, None) for b in batches]
+    if include_quant:
+        # int8 decoder tail (ops/quant.py) at the default tail depth: lets
+        # first contact with real silicon answer whether its int8 conv
+        # emitter beats bf16 (2x nominal on the MXU) in one sweep
+        configs += [(b, 3, True, "int8") for b in batches]
+    for batch, tail, s2d, quant in configs:
         rec = {"batch": batch, "s2d": s2d,
                "n_block_stages": tail if s2d else None,
-               "max_res_log2": max_res_log2}
+               "quant": quant, "max_res_log2": max_res_log2}
         try:
             v = measure(batch, iters, max_res_log2, s2d=s2d,
-                        n_block_stages=tail if s2d else 3)
+                        n_block_stages=tail if s2d else 3, quant=quant)
             rec.update(ok=True, samples_per_sec=round(v, 2))
         except Exception as exc:  # compile ceiling, OOM, ...
             rec.update(ok=False, error=f"{type(exc).__name__}: {exc}"[:200])
@@ -50,20 +55,23 @@ def sweep(batches, tails, max_res_log2, iters, include_no_s2d=True,
 def baseline_table(results) -> str:
     """The BASELINE.md block: best config first, markdown table after."""
     ok = [r for r in results if r["ok"]]
-    lines = ["| batch | s2d | tail | samples/sec/chip |",
-             "|---|---|---|---|"]
+    lines = ["| batch | s2d | tail | quant | samples/sec/chip |",
+             "|---|---|---|---|---|"]
     for r in sorted(ok, key=lambda r: -r["samples_per_sec"]):
         lines.append(f"| {r['batch']} | {'yes' if r['s2d'] else 'no'} | "
                      f"{r['n_block_stages'] or '-'} | "
+                     f"{r.get('quant') or 'bf16'} | "
                      f"{r['samples_per_sec']} |")
     for r in results:
         if not r["ok"]:
             lines.append(f"| {r['batch']} | {'yes' if r['s2d'] else 'no'} | "
-                         f"{r['n_block_stages'] or '-'} | FAILED |")
+                         f"{r['n_block_stages'] or '-'} | "
+                         f"{r.get('quant') or 'bf16'} | FAILED |")
     if ok:
         best = max(ok, key=lambda r: r["samples_per_sec"])
         head = (f"Best: batch={best['batch']} s2d={best['s2d']} "
-                f"tail={best['n_block_stages']} -> "
+                f"tail={best['n_block_stages']} "
+                f"quant={best.get('quant') or 'bf16'} -> "
                 f"{best['samples_per_sec']} samples/sec/chip "
                 f"@{2 ** best['max_res_log2']}px\n\n")
     else:
@@ -81,6 +89,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--no-s2d-off", action="store_true",
                     help="skip the s2d=off baseline configs")
+    ap.add_argument("--no-quant", action="store_true",
+                    help="skip the int8-decoder configs")
     ap.add_argument("--quick", action="store_true",
                     help="miniature sweep (res 64, batches 2,4, tails 2,3)")
     a = ap.parse_args(argv)
@@ -91,7 +101,8 @@ def main(argv=None):
         tails = [int(t) for t in a.tails.split(",")]
         res, iters = a.max_res_log2, a.iters
     results = sweep(batches, tails, res, iters,
-                    include_no_s2d=not a.no_s2d_off)
+                    include_no_s2d=not a.no_s2d_off,
+                    include_quant=not a.no_quant)
     print()
     print(baseline_table(results))
     return results
