@@ -78,7 +78,11 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
                       jax.random.normal(jax.random.PRNGKey(100 + i),
                                         (4, gcfg.latent_size), jnp.float32),
                       jax.random.PRNGKey(200 + i)) for i in range(2)]
-        dprep = prepare_s2d_int8(dec, dvars, calib, n_block_stages)
+        # device-resident like the bf16 tree (a jit output): the quantizer
+        # returns host numpy, which jit would re-upload EVERY call —
+        # poisoning the int8-vs-bf16 comparison with H2D transfer time
+        dprep = jax.device_put(prepare_s2d_int8(dec, dvars, calib,
+                                                n_block_stages))
     elif s2d:
         dprep = jax.jit(
             lambda v: prepare_s2d(dec, v, n_block_stages))(dvars)

@@ -110,7 +110,11 @@ def train(args, spec: ExpSpec):
                         "mid-epoch from the saved bundle", args.run_path)
             return
         trainer.validation(epoch)
-    trainer.clear_resume_bundle()
+        # the epoch completed and its checkpoint is newer than any bundle a
+        # PREVIOUS preemption left: clear it now, not only at run end —
+        # otherwise a later non-SIGTERM crash (OOM, hard kill) would make
+        # the next --resume silently roll back to the stale bundle
+        trainer.clear_resume_bundle()
 
 
 def test(args, spec: ExpSpec):

@@ -13,6 +13,7 @@ seeds the RNGs with 0 (`main.py:29-31`), and dispatches:
 
 import argparse
 import logging
+import os
 import sys
 from os import makedirs
 from os.path import isdir, isfile, join
@@ -97,12 +98,23 @@ def _write_pairs_native(pipeline, n_local: int, dst_dir: str, start: int,
 
 def _write_pairs_cv2(pipeline, n_local: int, dst_dir: str, start: int,
                      progress) -> None:
-    """Reference-style sequential writer loop (`main.py:96-104`)."""
+    """Reference-style sequential writer loop (`main.py:96-104`).
+
+    Writes are atomic (tmp + rename, format inferred from the tmp name's
+    real extension) so a kill mid-encode never leaves a torn file at a
+    final name — the invariant `resume_offset` relies on (the native
+    writer's C++ encoders give the same guarantee)."""
     import cv2
+
+    def atomic_write(name: str, arr) -> None:
+        tmp = join(dst_dir, ".tmp_" + name)
+        if not cv2.imwrite(tmp, arr):
+            raise RuntimeError(f"cv2.imwrite failed for {name}")
+        os.replace(tmp, join(dst_dir, name))
+
     for index, (img, mask) in enumerate(pipeline.generate_pairs(n_local)):
-        cv2.imwrite(join(dst_dir, f"img_{start + index:06d}.jpg"),
-                    img[:, :, ::-1])
-        cv2.imwrite(join(dst_dir, f"mask_{start + index:06d}.png"), mask)
+        atomic_write(f"img_{start + index:06d}.jpg", img[:, :, ::-1])
+        atomic_write(f"mask_{start + index:06d}.png", mask)
         if progress is not None:
             progress.update()
 
@@ -112,12 +124,16 @@ def resume_offset(dst_dir: str, start: int, n_local: int,
     """How many of this process's pairs an interrupted `generate` already
     wrote, rounded DOWN to a device-batch boundary.
 
-    Counts the contiguous run of complete (img, mask) pairs from ``start``,
-    backs off one pair (the newest file may be a torn write — cv2/native
-    writes are not atomic), and rounds down to a multiple of ``batch_size``
-    so the resumed z stream stays batch-aligned with the original run
-    (batches are fixed-size; sample i always comes from batch i //
-    batch_size). The overlap is re-written with identical bytes."""
+    Counts the contiguous run of (img, mask) pairs from ``start``. Both
+    writers are ATOMIC (tmp + rename — the native pool encodes many files
+    concurrently, so a kill could otherwise tear any in-flight file, not
+    just the newest): a file at its final name is complete, making the
+    contiguity scan sound. One pair of extra back-off defends datasets
+    written by older/foreign tools, and the result rounds down to a
+    multiple of ``batch_size`` so the resumed z stream stays batch-aligned
+    with the original run (batches are fixed-size; sample i always comes
+    from batch i // batch_size). The overlap is re-written with identical
+    bytes."""
     done = 0
     while done < n_local:
         idx = start + done

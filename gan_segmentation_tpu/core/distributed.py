@@ -61,6 +61,22 @@ def local_shard(arr) -> np.ndarray:
         [np.asarray(uniq[k].data) for k in sorted(uniq)], axis=0)
 
 
+def any_flag(flag: bool) -> bool:
+    """Cross-process OR of a host-side bool (no-op single-process).
+
+    A COLLECTIVE: every process must call it at the same point (e.g. the
+    same step index). Used to agree on a preemption stop — processes
+    observe SIGTERM at different times (or only the preempted VM sees it
+    at all), and a process stopping unilaterally would leave the others
+    hung in the next SPMD step's gradient all-reduce.
+    """
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+    return bool(multihost_utils.process_allgather(
+        np.asarray(bool(flag))).any())
+
+
 def allreduce_sum(tree):
     """Sum numpy counters across processes (no-op single-process).
 

@@ -123,14 +123,16 @@ def load_mx_ndarray_file(path: str) -> Dict[str, np.ndarray]:
     """Parse an mxnet ``mx.nd.save`` / ``save_parameters`` file."""
     with open(path, "rb") as fp:
         r = _Reader(fp.read())
-    magic = r.read("Q")
-    if magic != _LIST_MAGIC:
-        raise ValueError(f"not an mxnet NDArray file (magic {magic:#x})")
-    reserved = r.read("Q")
-    if reserved != 0:
-        raise ValueError(f"bad reserved field {reserved:#x}: corrupt file")
-    count = r.read("Q")
     try:
+        # header reads sit INSIDE the guard too: a write torn right after
+        # the 8-byte magic must surface as the same ValueError contract
+        magic = r.read("Q")
+        if magic != _LIST_MAGIC:
+            raise ValueError(f"not an mxnet NDArray file (magic {magic:#x})")
+        reserved = r.read("Q")
+        if reserved != 0:
+            raise ValueError(f"bad reserved field {reserved:#x}: corrupt file")
+        count = r.read("Q")
         arrays = [_read_ndarray(r) for _ in range(count)]
         name_count = r.read("Q")
         names = []

@@ -49,7 +49,12 @@ void jpeg_error_exit(j_common_ptr cinfo) {
 
 bool write_jpeg_file(const char* path, const uint8_t* rgb, int h, int w,
                      int quality) {
-  FILE* fp = std::fopen(path, "wb");
+  // atomic: encode into <path>.tmp, rename into place on success — a file
+  // at its final name is always complete, which `generate --resume`'s
+  // contiguity scan relies on (the pool writes many files concurrently, so
+  // a kill can tear any in-flight file, not just the newest index)
+  const std::string tmp = std::string(path) + ".tmp";
+  FILE* fp = std::fopen(tmp.c_str(), "wb");
   if (!fp) return false;
 
   jpeg_compress_struct cinfo;
@@ -59,7 +64,7 @@ bool write_jpeg_file(const char* path, const uint8_t* rgb, int h, int w,
   if (setjmp(jerr.setjmp_buffer)) {
     jpeg_destroy_compress(&cinfo);
     std::fclose(fp);
-    std::remove(path);
+    std::remove(tmp.c_str());
     return false;
   }
 
@@ -80,7 +85,7 @@ bool write_jpeg_file(const char* path, const uint8_t* rgb, int h, int w,
   jpeg_finish_compress(&cinfo);
   jpeg_destroy_compress(&cinfo);
   std::fclose(fp);
-  return true;
+  return std::rename(tmp.c_str(), path) == 0;
 }
 
 // ---------------------------------------------------------------------------
@@ -93,25 +98,29 @@ bool write_jpeg_file(const char* path, const uint8_t* rgb, int h, int w,
 
 bool write_png_gray_file(const char* path, const uint8_t* gray, int h, int w,
                          bool packed) {
-  FILE* fp = std::fopen(path, "wb");
+  // atomic tmp + rename, same discipline (and reason) as write_jpeg_file
+  const std::string tmp = std::string(path) + ".tmp";
+  FILE* fp = std::fopen(tmp.c_str(), "wb");
   if (!fp) return false;
 
   png_structp png =
       png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
   if (!png) {
     std::fclose(fp);
+    std::remove(tmp.c_str());
     return false;
   }
   png_infop info = png_create_info_struct(png);
   if (!info) {
     png_destroy_write_struct(&png, nullptr);
     std::fclose(fp);
+    std::remove(tmp.c_str());
     return false;
   }
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     std::fclose(fp);
-    std::remove(path);
+    std::remove(tmp.c_str());
     return false;
   }
 
@@ -145,7 +154,7 @@ bool write_png_gray_file(const char* path, const uint8_t* gray, int h, int w,
   png_write_end(png, info);
   png_destroy_write_struct(&png, &info);
   std::fclose(fp);
-  return true;
+  return std::rename(tmp.c_str(), path) == 0;
 }
 
 // ---------------------------------------------------------------------------

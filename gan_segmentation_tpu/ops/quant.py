@@ -44,7 +44,6 @@ _SITES: Tuple[Tuple[str, str], ...] = (
     ("cvt_k", "cvt_b"), ("k0", "b0"), ("k1", "b1"), ("ksc", "bsc"),
     ("kf", "bf"),
 )
-_BKEY = dict(_SITES)
 _EPS = 1e-12
 
 

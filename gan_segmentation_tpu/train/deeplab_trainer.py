@@ -333,8 +333,11 @@ class SegmentationTrainer:
         self.sw = None
         self._rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         # preemption-safe training (TPU extension; the reference is
-        # fail-stop with epoch-granular --weights resume only)
+        # fail-stop with epoch-granular --weights resume only).
+        # _stop_agreed is the CROSS-PROCESS agreed stop (see training());
+        # multi-host processes must never act on the local flag alone.
         self._stop_requested = False
+        self._stop_agreed = False
         self.preempted = False
 
     # ----------------------------------------------------------------- steps
@@ -452,7 +455,19 @@ class SegmentationTrainer:
                 decode_workers=self._decode_workers,
                 start_batch=start_iter)):
             i = start_iter + off
-            if self._stop_requested:
+            if self._pc > 1 and i % log_interval == 0:
+                # multi-host: processes see SIGTERM at different step
+                # boundaries (or only the preempted VM sees it at all), and
+                # a unilateral stop would strand the others in the next
+                # step's gradient all-reduce. Agree on the flag with a
+                # cross-process OR at a cadence every process shares; act
+                # ONLY on the agreed value, so all processes stop (and
+                # record the bundle) at the same iter.
+                from ..core.distributed import any_flag
+                self._stop_agreed = any_flag(self._stop_requested)
+            stop = (self._stop_agreed if self._pc > 1
+                    else self._stop_requested)
+            if stop:
                 # SIGTERM (TPU preemption notice) between steps: persist a
                 # step-granular resume bundle and stop cleanly. Batch i has
                 # NOT run — the bundle points the resumed run at iter i.
@@ -615,6 +630,10 @@ class SegmentationTrainer:
     # epoch data order is a pure function of the epoch seed, so the resumed
     # run fast-forwards `batch_iter(start_batch=...)` without decoding, and
     # the restored PRNG already accounts for the completed steps.
+    # Multi-host: the stop is AGREED across processes first (a cross-
+    # process OR every log_interval steps in training()) — processes see
+    # SIGTERM at different boundaries, and a unilateral stop would strand
+    # the rest in the next step's gradient all-reduce.
 
     def install_preemption_handler(self, signals=(signal.SIGTERM,)):
         def _handler(signum, frame):

@@ -79,8 +79,11 @@ def init_exp(run_file_path, add_exp_args, argv=None):
         # continue a preempted run in place: same checkpoints dir (where
         # the SIGTERM handler left resume_bundle.msgpack), same logs
         run_path = Path(args.resume)
-        assert (run_path / "checkpoints").is_dir(), \
-            f"--resume expects an existing run dir, got {run_path}"
+        if not (run_path / "checkpoints").is_dir():
+            # a ValueError, never an assert (stripped under -O): a typo'd
+            # path must not silently start a fresh run in a new directory
+            raise ValueError(
+                f"--resume expects an existing run dir, got {run_path}")
         args.logs_path = run_path / "logs"
         args.run_path = run_path
         args.checkpoints_path = run_path / "checkpoints"

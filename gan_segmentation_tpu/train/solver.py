@@ -416,6 +416,13 @@ class SegSolver:
                     tx, cfg.train_batch_size)
         train_step = self._build_train_step(tx) if cached is None else None
         rng = jax.random.PRNGKey(self.seed)
+        if scan_epochs:
+            # the rng is a scan CARRY: epoch 1 would pass an uncommitted
+            # host array and epoch 2 the returned committed NamedSharding —
+            # the same two-jit-cache-keys double compile the state commit
+            # above prevents (the per-step path is unaffected: its host-side
+            # split keeps step_rng uncommitted every step)
+            rng = replicate(self.mesh, jax.device_get(rng))
 
         def epoch_batches(epoch):
             """Index order identical to ``dataset.batches`` (same RNG use)."""

@@ -121,6 +121,34 @@ def main():
             json.dump({"loss": loss, "metrics": metrics,
                        "total_label": total_label}, fp)
     multihost_utils.sync_global_devices("dumped")
+
+    # --- preemption agreement: only process 1 "receives" SIGTERM. The stop
+    # must propagate through the cross-process OR (core.distributed.any_flag
+    # at the log_interval cadence) so BOTH processes stop at the same step
+    # boundary — a unilateral stop would strand the other process in the
+    # next step's gradient all-reduce (train/deeplab_trainer.py::training).
+    if int(pid) == 1:
+        trainer._stop_requested = True
+    trainer.training(0, log_interval=2)
+    assert trainer.preempted, "agreed stop did not propagate to this process"
+    multihost_utils.sync_global_devices("preempted")
+    bundle = os.path.join(out_dir, "ckpt", "resume_bundle.msgpack")
+    assert os.path.isfile(bundle), bundle  # written by the primary
+    from flax import serialization
+    with open(bundle, "rb") as fp:
+        d = serialization.msgpack_restore(fp.read())
+    assert (int(d["epoch"]), int(d["next_iter"])) == (0, 0), d
+    # both processes resume from the agreed boundary and run to completion
+    trainer._stop_requested = trainer._stop_agreed = False
+    trainer.preempted = False
+    pos = trainer.try_resume()
+    assert pos == (0, 0), pos
+    trainer.training(0, start_iter=pos[1])
+    assert not trainer.preempted
+    multihost_utils.sync_global_devices("resumed")
+    if is_primary():
+        trainer.clear_resume_bundle()
+
     jax.distributed.shutdown()
     print(f"deeplab worker {pid} OK", flush=True)
 

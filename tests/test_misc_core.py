@@ -1,6 +1,7 @@
 """Config merger, profiling helpers, solver LR schedules."""
 
 import numpy as np
+import pytest
 
 from gan_segmentation_tpu.core.config import SolverConfig
 from gan_segmentation_tpu.core.yaml_config import AttrDict, cfg, load_config
@@ -107,11 +108,12 @@ class TestInitExpResume:
 
         run_file = tmp_path / "main.py"
         run_file.write_text("# run file\n")
-        with pytest.raises(AssertionError, match="existing run dir"):
+        with pytest.raises(ValueError, match="existing run dir"):
             init_exp(str(run_file), self._add_args,
                      argv=["train", "--resume", str(tmp_path / "missing")])
 
 
+@pytest.mark.slow  # spawns two fresh python+jax subprocesses
 class TestPersistentJitCache:
     """`core.jit_cache.enable_persistent_cache`: CLI entrypoints point jax
     at an on-disk compilation cache so repeat runs (train -> test ->
