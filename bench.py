@@ -148,14 +148,28 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
                              jax.random.wrap_key_data(key_data))
 
         kd0 = jax.random.key_data(jax.random.PRNGKey(0))
+        # a spatial run exports an SPMD program over the whole (data, space)
+        # mesh; the bundle must then be SERVED on that mesh too — weights
+        # replicated, batch sharded over ``data`` (without this the leaves
+        # land on one device and jax.export rejects the device-count
+        # mismatch at call time, after minutes of compile)
+        params_sharding = args_shardings = None
+        if mesh is not None:
+            from gan_segmentation_tpu.core.mesh import (data_sharding,
+                                                        replicated_sharding)
+            params_sharding = replicated_sharding(mesh)
+            args_shardings = (data_sharding(mesh, 2),
+                              replicated_sharding(mesh))
         with tempfile.TemporaryDirectory() as d:
             save_bundle(d, serve_fn, weights,
                         (jax.ShapeDtypeStruct((batch, 512), jnp.float32),
-                         jax.ShapeDtypeStruct(kd0.shape, kd0.dtype)))
+                         jax.ShapeDtypeStruct(kd0.shape, kd0.dtype)),
+                        params_sharding=params_sharding,
+                        args_shardings=args_shardings)
             # read_bundle, not load_bundle: the checksum wrapper below must
             # keep the weights as jit ARGUMENTS (closed-over arrays would be
             # baked into the module as the constants the bundle form avoids)
-            artifact, leaves = read_bundle(d)
+            artifact, leaves = read_bundle(d, params_sharding)
 
         @jax.jit
         def serve_sum(lv, z, key_data):
@@ -167,6 +181,9 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
         def launch(i):
             z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
+            if mesh is not None:
+                from gan_segmentation_tpu.core.mesh import shard_batch
+                z = shard_batch(mesh, z)
             return serve_sum(leaves, z, jax.random.key_data(
                 jax.random.fold_in(rng, 1000 + i)))
     else:

@@ -5,10 +5,12 @@ StableHLO artifacts (see `core/export.py`).
     python -m gan_segmentation_tpu.apps.export generate \
         --config config.yml -o generate.stablehlo --batch 8
 
-    # DeepLab multi-scale+flip eval protocol at a fixed input shape:
+    # DeepLab multi-scale+flip eval protocol at a fixed input shape
+    # (the artifact emits per-class SCORES; thresholding stays in the
+    # consumer's label map):
     python -m gan_segmentation_tpu.apps.export deeplab \
         --weights runs/train_x/checkpoints/last_checkpoint.params \
-        -o deeplab_eval.stablehlo --shape 1,512,512,3 --threshold 1e-15
+        -o deeplab_eval.stablehlo --shape 1,512,512,3
 
 Pass ``--platforms cpu,tpu`` to produce one artifact loadable on either
 backend (cross-platform lowering; no TPU needed at export time).

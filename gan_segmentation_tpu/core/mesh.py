@@ -128,9 +128,14 @@ def shard_batch(mesh: Mesh, tree):
                 r = index[0]
                 start = (r.start or 0) - offset
                 stop = (global_shape[0] if r.stop is None else r.stop) - offset
-                assert 0 <= start and stop <= x.shape[0], (
-                    "shard rows outside this process's batch slice — the "
-                    "mesh's data axis is not process-contiguous")
+                if start < 0 or stop > x.shape[0]:
+                    # a ValueError, never an assert: stripped under -O this
+                    # would fall through to a negative slice that silently
+                    # WRAPS to the end of the local batch — corrupt data,
+                    # not an error
+                    raise ValueError(
+                        "shard rows outside this process's batch slice — "
+                        "the mesh's data axis is not process-contiguous")
                 return x[(slice(start, stop),) + tuple(index[1:])]
 
             return jax.make_array_from_callback(global_shape, sharding, cb)

@@ -117,6 +117,10 @@ bool write_png_gray_file(const char* path, const uint8_t* gray, int h, int w,
     std::remove(tmp.c_str());
     return false;
   }
+  // allocated BEFORE setjmp: a longjmp must not skip a live destructor
+  // (UB + leak); same discipline as read_png_gray's buffers
+  std::vector<uint8_t> row;
+  if (packed) row.resize(static_cast<size_t>(w));
   if (setjmp(png_jmpbuf(png))) {
     png_destroy_write_struct(&png, &info);
     std::fclose(fp);
@@ -134,7 +138,6 @@ bool write_png_gray_file(const char* path, const uint8_t* gray, int h, int w,
 
   if (packed) {
     const int wb = w / 8;
-    std::vector<uint8_t> row(static_cast<size_t>(w));
     for (int y = 0; y < h; ++y) {
       const uint8_t* src = gray + static_cast<size_t>(y) * wb;
       for (int xb = 0; xb < wb; ++xb) {
