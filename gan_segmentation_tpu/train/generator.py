@@ -139,17 +139,32 @@ class FusedPipeline:
     single image's working set exceeds one chip's HBM (larger-than-1024²
     synthesis) or to cut per-sample latency; for throughput, pure data
     parallelism (the default 1-D mesh) is optimal.
+
+    ``quant="int8"``: decoder tail runs post-training int8 (`ops/quant.py`,
+    s8xs8->s32 on the MXU at 2x the bf16 rate nominal); activation scales
+    self-calibrate on two FIXED-key generator batches at prepare time, so
+    the emission z stream — and with it `generate --resume`'s byte-
+    identity — is untouched. Masks agree with bf16 on ~99%+ of pixels;
+    requires the s2d path (incompatible with spatial mode).
     """
 
     def __init__(self, image_generator: ImageGenerator, solver,
                  inference_dtype=jnp.bfloat16, s2d: bool = True,
-                 n_block_stages: int = 3, mesh=None):
+                 n_block_stages: int = 3, mesh=None,
+                 quant: Optional[str] = None):
         self.gen = image_generator
         self.solver = solver
+        self.quant = quant
         from ..core.mesh import SPACE_AXIS, constrain_spatial, replicate
         self.mesh = mesh
         spatial = (mesh is not None and SPACE_AXIS in mesh.axis_names
                    and mesh.shape[SPACE_AXIS] > 1)
+        if quant not in (None, "int8"):
+            raise ValueError(f"unknown quant mode {quant!r}")
+        if quant and spatial:
+            # the int8 path rides the s2d tail, which spatial mode disables
+            raise ValueError("--quant requires the s2d decoder path, which "
+                             "spatial parallelism replaces")
         if mesh is not None:
             # params live replicated over the mesh; jit then compiles one
             # SPMD program spanning all its devices
@@ -172,7 +187,36 @@ class FusedPipeline:
         from ..ops.s2d_decoder import (apply_s2d_prepared, class_mask_s2d,
                                        prepare_s2d)
 
-        if use_s2d:
+        if quant and not use_s2d:
+            raise ValueError("--quant requires the s2d decoder path "
+                             "(decoder too shallow for a block tail?)")
+        if quant == "int8":
+            # post-training int8 (ops/quant.py): weights fold from the same
+            # prepare_s2d tree; activation scales self-calibrate on two
+            # generator batches at prepare time (one-time, ~2 extra
+            # generator runs). Device_put: the quantizer returns host
+            # numpy, which jit would re-upload every step otherwise.
+            from ..ops.quant import apply_s2d_int8, prepare_s2d_int8
+
+            def _prepare_int8(v):
+                # calibration uses FIXED keys, never the sampling stream:
+                # consuming self.gen._rng here would shift every emitted
+                # sample, breaking generate's byte-identity and --resume
+                gen_ref = self.gen
+                calib = []
+                for i in range(2):
+                    z = jax.random.normal(
+                        jax.random.PRNGKey(100 + i),
+                        (min(4, gen_ref.batch_size),
+                         gen_ref.cfg.latent_size), jnp.float32)
+                    _, feats = gen_ref._fwd(gen_ref.params, z,
+                                            jax.random.PRNGKey(200 + i))
+                    calib.append(feats)
+                return jax.device_put(prepare_s2d_int8(
+                    dec_model, v, calib, n_block_stages))
+
+            self._prepare = _prepare_int8
+        elif use_s2d:
             # parameter folding (kernel scatters, BN fold, casts) runs once
             # per solver-parameter set, NOT in the per-batch step program
             self._prepare = jax.jit(
@@ -195,7 +239,12 @@ class FusedPipeline:
                 # H-shard the pyramid over the ``space`` axis; XLA propagates
                 # the layout into the decoder convs and adds halo exchanges
                 feats = constrain_spatial(feats, mesh)
-            if use_s2d:
+            if quant == "int8":
+                # s8xs8->s32 convs over the same s2d stage walk
+                logits = apply_s2d_int8(dec_model, dec_prepared, feats,
+                                        n_block_stages)
+                mask = class_mask_s2d(logits, nclass)
+            elif use_s2d:
                 # narrow high-res convs run in space-to-depth block layout
                 # (ops/s2d_decoder.py) — numerically equivalent, full lanes
                 logits = apply_s2d_prepared(dec_model, dec_prepared, feats,

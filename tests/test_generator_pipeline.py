@@ -56,6 +56,34 @@ class TestFusedPipeline:
         assert mask.shape == (32, 32) and mask.dtype == np.uint8
         assert set(np.unique(mask)) <= {0, 1}
 
+    def test_quant_int8_pipeline(self, trained_setup):
+        """FusedPipeline(quant='int8'): same seed stream, near-identical
+        masks to the bf16/f32 path, and the z stream is untouched by the
+        self-calibration (fixed keys — resume byte-identity depends on it)."""
+        _, _, solver = trained_setup
+        mk = lambda: ImageGenerator(gan="bedrooms", batch_size=4,
+                                    dtype="fp32", max_res_log2=5,
+                                    gan_dir="/nonexistent")
+        ref_pairs = list(FusedPipeline(mk(), solver).generate_pairs(4))
+        q_pairs = list(FusedPipeline(mk(), solver,
+                                     quant="int8").generate_pairs(4))
+        agree = np.mean([np.mean(r[1] == q[1])
+                         for r, q in zip(ref_pairs, q_pairs)])
+        assert agree > 0.97, agree
+        # images come from the generator (unquantized): byte-identical
+        for (ri, _), (qi, _) in zip(ref_pairs, q_pairs):
+            np.testing.assert_array_equal(ri, qi)
+
+    def test_quant_rejects_spatial(self, trained_setup):
+        _, _, solver = trained_setup
+        import jax
+        from gan_segmentation_tpu.core.mesh import make_mesh_2d
+        gen = ImageGenerator(gan="bedrooms", batch_size=4, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        mesh = make_mesh_2d(len(jax.devices()) // 2, 2)
+        with pytest.raises(ValueError, match="spatial"):
+            FusedPipeline(gen, solver, mesh=mesh, quant="int8")
+
     def test_generate_batches_contract(self, trained_setup):
         """generate_batches keeps masks device-packed (8 px/byte) and trims
         the last batch; generate_pairs over it matches unpacked shapes."""
