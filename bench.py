@@ -68,16 +68,27 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     if quant and not s2d:
         raise ValueError("--quant requires the s2d decoder path")
 
-    if quant == "int8":
+    gen_quant = None
+    if quant in ("int8", "int8-full"):
         from gan_segmentation_tpu.ops.quant import (apply_s2d_int8,
-                                                    prepare_s2d_int8)
-        # calibration: activation absmax over two real generator batches
-        gfwd = jax.jit(lambda gp, z, k: gen.apply(
-            {"params": gp}, z, rngs={"noise": k})[1])
-        calib = [gfwd(gparams,
-                      jax.random.normal(jax.random.PRNGKey(100 + i),
-                                        (4, gcfg.latent_size), jnp.float32),
-                      jax.random.PRNGKey(200 + i)) for i in range(2)]
+                                                    prepare_s2d_int8,
+                                                    quantize_generator)
+        czs = [jax.random.normal(jax.random.PRNGKey(100 + i),
+                                 (4, gcfg.latent_size), jnp.float32)
+               for i in range(2)]
+        cnks = [jax.random.PRNGKey(200 + i) for i in range(2)]
+        if quant == "int8-full":
+            # generator synthesis convs in s8 too (~36% of pipeline FLOPs);
+            # the quant collection is ~50 scalars, closed over in fused
+            gen_quant = quantize_generator(gen, gparams, czs, cnks)
+            gfwd = jax.jit(lambda gp, z, k: gen.apply(
+                {"params": gp, "quant": gen_quant}, z,
+                rngs={"noise": k})[1])
+        else:
+            gfwd = jax.jit(lambda gp, z, k: gen.apply(
+                {"params": gp}, z, rngs={"noise": k})[1])
+        # decoder calibration on the pyramid it will actually see
+        calib = [gfwd(gparams, z, k) for z, k in zip(czs, cnks)]
         # device-resident like the bf16 tree (a jit output): the quantizer
         # returns host numpy, which jit would re-upload EVERY call —
         # poisoning the int8-vs-bf16 comparison with H2D transfer time
@@ -91,11 +102,14 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
                  "batch_stats": dvars.get("batch_stats", {})}
 
     def fused(gp, dp, z, rng):
-        rgb, feats = gen.apply({"params": gp}, z, rngs={"noise": rng})
+        gvars = {"params": gp}
+        if gen_quant is not None:
+            gvars["quant"] = gen_quant
+        rgb, feats = gen.apply(gvars, z, rngs={"noise": rng})
         if spatial:
             from gan_segmentation_tpu.core.mesh import constrain_spatial
             feats = constrain_spatial(feats, mesh)
-        if quant == "int8":
+        if quant in ("int8", "int8-full"):
             logits = apply_s2d_int8(dec, dp, feats, n_block_stages)
             mask = class_mask_s2d(logits, scfg.num_classes)
         elif s2d:
@@ -260,11 +274,13 @@ def main():
              "serving artifact (core/export.py) instead of the live jit "
              "program")
     ap.add_argument(
-        "--quant", choices=("none", "int8"), default="none",
-        help="decoder-tail precision: int8 runs post-training quantized "
-             "convs (ops/quant.py; s8xs8->s32 on the MXU) calibrated on "
-             "two generator batches — ~99%% mask agreement with bf16 on "
-             "random decoders, higher on trained weights")
+        "--quant", choices=("none", "int8", "int8-full"), default="none",
+        help="post-training quantization (ops/quant.py; s8xs8->s32 on the "
+             "MXU, calibrated on two generator batches): int8 = decoder "
+             "tail (~99%% mask agreement with bf16 on random decoders); "
+             "int8-full = generator synthesis convs too, ~100%% of "
+             "pipeline conv FLOPs (~97%% mask agreement / ~35 dB image "
+             "PSNR on worst-case random weights)")
     ap.add_argument(
         "--watchdog", type=int, default=1800, metavar="SEC",
         help="hard deadline: emit an error JSON line and exit if the "
@@ -275,7 +291,7 @@ def main():
     if args.serving:
         metric += "_serving"
     if args.quant != "none":
-        metric += f"_{args.quant}"
+        metric += f"_{args.quant.replace('-', '_')}"
     if args.spatial > 1:
         # a spatial run spans the whole (data, space) mesh; tag the metric
         # and normalize per chip below so it can't pass for the 1-chip number

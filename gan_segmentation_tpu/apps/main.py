@@ -48,11 +48,14 @@ def parse_args(argv=None):
              "the seeded z stream past them, and write only the remainder "
              "(the pairs produced are identical to an uninterrupted run)")
     parser.add_argument(
-        "--quant", choices=("none", "int8"), default="none",
-        help="generate: decoder-tail precision. int8 runs post-training "
-             "quantized convs (ops/quant.py, s8xs8->s32 on the MXU; "
-             "activation scales self-calibrate on two generator batches) — "
-             "masks agree with bf16 on ~99%%+ of pixels; incompatible with "
+        "--quant", choices=("none", "int8", "int8-full"), default="none",
+        help="generate: post-training quantization (ops/quant.py, "
+             "s8xs8->s32 on the MXU; scales self-calibrate on two "
+             "fixed-key generator batches). int8 = decoder tail only, "
+             "masks ~99%%+ identical to bf16; int8-full = generator "
+             "synthesis convs too (~100%% of conv FLOPs; ~97%% mask "
+             "agreement / ~35 dB image PSNR on worst-case random weights "
+             "— validate on trained weights first). Incompatible with "
              "--spatial")
     parser.add_argument(
         "--writer", choices=("auto", "native", "cv2"), default="auto",

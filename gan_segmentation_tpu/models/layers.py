@@ -13,13 +13,48 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops.blur import blur_kernel
-from ..ops.conv import conv2d, conv_transpose2d, depthwise_conv2d, upsample2x_conv2d
+from ..ops.conv import (_UP2, compose_kernel_2d, conv2d, conv_transpose2d,
+                        depthwise_conv2d, upsample2x_conv2d)
 from ..ops.norm import instance_norm
 from ..ops.wscale import wscale_std
+
+# Int8 inference (ops/quant.py): the wscale convs below support
+# post-training quantization through two flax variable collections —
+# - apply with ``mutable=["qstats"]`` sows each conv INPUT's absmax
+#   (calibration; `ops.quant.calibrate_generator`), and
+# - apply with a ``quant`` collection (`ops.quant.quantize_generator`)
+#   runs the conv s8xs8->s32: the input quantizes against its calibrated
+#   static scale and the WEIGHT quantizes at trace time from the same
+#   effective-kernel math the float path runs (per-out-channel symmetric;
+#   the round/clip over the weights is negligible next to the conv and
+#   keeps a single source of truth for wscale/lr_mult/up2x composition).
 
 
 def leaky_relu(x, slope: float = 0.2):
     return jnp.where(x >= 0, x, slope * x)
+
+
+def _sow_absmax(mdl: nn.Module, x) -> None:
+    if mdl.is_mutable_collection("qstats"):
+        mdl.sow("qstats", "absmax", jnp.max(jnp.abs(x.astype(jnp.float32))))
+
+
+def _quant_conv(mdl: nn.Module, x, k_eff, b, *, stride=1, padding=0,
+                lhs_dilation=None):
+    """The int8 branch shared by the wscale convs: quantize the input
+    against the calibrated scale, the effective kernel at trace time, run
+    s8xs8->s32, dequantize in f32, bias, cast back."""
+    from ..ops.quant import conv2d_s8, quantize_act, quantize_weight
+
+    inv = mdl.get_variable("quant", "inv_in")
+    xq = quantize_act(x, inv)
+    wq, wscale = quantize_weight(k_eff)
+    y = conv2d_s8(xq, wq, stride=stride, padding=padding,
+                  lhs_dilation=lhs_dilation).astype(jnp.float32)
+    y = y * (wscale / inv)
+    if b is not None:
+        y = y + b.astype(jnp.float32)
+    return y.astype(x.dtype)
 
 
 class DenseW(nn.Module):
@@ -89,11 +124,23 @@ class Conv2DW(nn.Module):
             b = b.astype(self.compute_dtype)
         if self.up2x:
             assert self.stride == 1, "up2x composes only with stride 1"
-            return upsample2x_conv2d(x.astype(self.compute_dtype),
+            x = x.astype(self.compute_dtype)
+            _sow_absmax(self, x)
+            if self.has_variable("quant", "inv_in"):
+                # same composed kernel + input-dilated form as the float
+                # path below (upsample2x_conv2d), in s8
+                kc = compose_kernel_2d((w * scale).astype(jnp.float32), _UP2)
+                return _quant_conv(self, x, kc, b,
+                                   padding=1 + self.padding, lhs_dilation=2)
+            return upsample2x_conv2d(x,
                                      (w * scale).astype(self.compute_dtype),
                                      b, padding=self.padding)
-        return conv2d(x.astype(self.compute_dtype),
-                      (w * scale).astype(self.compute_dtype), b,
+        x = x.astype(self.compute_dtype)
+        _sow_absmax(self, x)
+        if self.has_variable("quant", "inv_in"):
+            return _quant_conv(self, x, (w * scale).astype(jnp.float32), b,
+                               stride=self.stride, padding=self.padding)
+        return conv2d(x, (w * scale).astype(self.compute_dtype), b,
                       stride=self.stride, padding=self.padding)
 
 
@@ -129,8 +176,14 @@ class Conv2DTransposeW(nn.Module):
         if self.use_bias:
             b = (self.param("bias", nn.initializers.zeros, (self.features,),
                             jnp.float32) * self.lr_mult).astype(self.compute_dtype)
-        return conv_transpose2d(x.astype(self.compute_dtype),
-                                (w * scale).astype(self.compute_dtype), b,
+        x = x.astype(self.compute_dtype)
+        _sow_absmax(self, x)
+        if self.has_variable("quant", "inv_in"):
+            # conv_transpose2d's input-dilated formulation, in s8
+            return _quant_conv(self, x, (w * scale).astype(jnp.float32), b,
+                               padding=self.kernel_size - 1 - self.padding,
+                               lhs_dilation=self.stride)
+        return conv_transpose2d(x, (w * scale).astype(self.compute_dtype), b,
                                 stride=self.stride, padding=self.padding)
 
 

@@ -62,10 +62,15 @@ def quantize_act(x, inv_scale) -> jnp.ndarray:
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
-def conv2d_s8(x, w, *, stride=1, padding=0):
-    """s8 x s8 -> s32 convolution (NHWC/HWIO), exact integer accumulation."""
+def conv2d_s8(x, w, *, stride=1, padding=0, lhs_dilation=None):
+    """s8 x s8 -> s32 convolution (NHWC/HWIO), exact integer accumulation.
+
+    ``lhs_dilation`` covers the generator's input-dilated forms (the
+    composed nearest-2x conv and the k4s2p1 deconv) — inserted zeros are
+    exact in int8."""
     return lax.conv_general_dilated(
         x, w, _pair(stride), _padding(padding),
+        lhs_dilation=None if lhs_dilation is None else _pair(lhs_dilation),
         dimension_numbers=DIMENSION_NUMBERS,
         preferred_element_type=jnp.int32)
 
@@ -147,3 +152,54 @@ def apply_s2d_int8(dec, qprepared: Dict, inputs: List[jnp.ndarray],
     elementwise tail unchanged in the decoder's compute dtype."""
     return apply_s2d_prepared(dec, qprepared, inputs, n_block_stages,
                               fine_logits, conv_hook=_int8_hook)
+
+
+# --------------------------------------------------------------- generator
+# The GENERATOR's synthesis convs (the other ~36% of the fused pipeline's
+# FLOPs) quantize through the flax modules themselves (`models/layers.py`
+# Conv2DW / Conv2DTransposeW): weights quantize at TRACE time from the same
+# effective-kernel math the float path runs (one source of truth; the
+# round/clip over the weights is negligible next to the convs), and only
+# the calibrated per-conv activation scales are external state — a `quant`
+# variable collection produced here. Instance norm after every conv
+# (AdaIN, `networks_stylegan.py:239-264`) renormalizes the activations, so
+# quantization error does not compound multiplicatively across blocks.
+
+
+def calibrate_generator(gen, params, calib_zs, noise_keys) -> Dict:
+    """Per-conv input absmax over calibration batches.
+
+    ``gen.apply`` with the ``qstats`` collection mutable makes every
+    wscale conv sow ``absmax`` (`models/layers.py`); batches reduce by max
+    on host. Returns the nested {module: {"absmax": f32}} tree."""
+    stats = None
+    fwd = jax.jit(lambda p, z, k: gen.apply(
+        {"params": p}, z, rngs={"noise": k}, mutable=["qstats"])[1])
+    for z, nk in zip(calib_zs, noise_keys):
+        got = jax.device_get(fwd(params, z, nk))["qstats"]
+        # sow stores a 1-tuple per module; unwrap and max-reduce
+        got = jax.tree_util.tree_map(
+            lambda v: np.float32(v[0] if isinstance(v, tuple) else v), got,
+            is_leaf=lambda v: isinstance(v, tuple))
+        stats = got if stats is None else jax.tree_util.tree_map(
+            np.maximum, stats, got)
+    return stats
+
+
+def generator_quant_scales(stats: Dict) -> Dict:
+    """qstats absmax tree -> the ``quant`` collection for
+    ``gen.apply({"params": p, "quant": q}, ...)``: per-conv static input
+    scales, stored as ``inv_in`` = 127/absmax."""
+
+    def conv(d):
+        return {"inv_in": np.float32(127.0 / max(float(d["absmax"]), _EPS))}
+
+    return jax.tree_util.tree_map(
+        conv, stats, is_leaf=lambda d: isinstance(d, dict) and "absmax" in d)
+
+
+def quantize_generator(gen, params, calib_zs, noise_keys) -> Dict:
+    """One-call calibration: returns the ``quant`` collection enabling the
+    int8 path in every wscale conv of the generator."""
+    return generator_quant_scales(
+        calibrate_generator(gen, params, calib_zs, noise_keys))

@@ -74,6 +74,26 @@ class TestFusedPipeline:
         for (ri, _), (qi, _) in zip(ref_pairs, q_pairs):
             np.testing.assert_array_equal(ri, qi)
 
+    def test_quant_int8_full_pipeline(self, trained_setup):
+        """int8-full: generator AND decoder quantized. Masks stay close to
+        the float path; images deviate within PTQ tolerance (worst-case
+        random generator — see ops/quant.py generator notes)."""
+        _, _, solver = trained_setup
+        mk = lambda: ImageGenerator(gan="bedrooms", batch_size=4,
+                                    dtype="fp32", max_res_log2=5,
+                                    gan_dir="/nonexistent")
+        ref_pairs = list(FusedPipeline(mk(), solver).generate_pairs(4))
+        q_pairs = list(FusedPipeline(mk(), solver,
+                                     quant="int8-full").generate_pairs(4))
+        agree = np.mean([np.mean(r[1] == q[1])
+                         for r, q in zip(ref_pairs, q_pairs)])
+        assert agree > 0.90, agree  # measured ~0.97 on random weights
+        rel = np.mean([np.linalg.norm(q[0].astype(np.float32)
+                                      - r[0].astype(np.float32))
+                       / max(np.linalg.norm(r[0].astype(np.float32)), 1e-6)
+                       for r, q in zip(ref_pairs, q_pairs)])
+        assert rel < 0.3, rel
+
     def test_quant_rejects_spatial(self, trained_setup):
         _, _, solver = trained_setup
         import jax

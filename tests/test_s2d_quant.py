@@ -123,6 +123,70 @@ def test_int8_bundle_roundtrip(tmp_path):
     np.testing.assert_array_equal(np.asarray(run(feats)), live)
 
 
+class TestGeneratorQuant:
+    """Generator-side int8 (`ops/quant.py` generator section + the quant/
+    qstats collections in `models/layers.py`)."""
+
+    def _gen(self, res=5):
+        from gan_segmentation_tpu.core.config import GanConfig
+        from gan_segmentation_tpu.models.stylegan import init_generator
+        cfg = GanConfig(max_res_log2=res, dtype="fp32")
+        return init_generator(cfg, seed=0)
+
+    def test_calibration_covers_every_wscale_conv(self):
+        from gan_segmentation_tpu.ops.quant import calibrate_generator
+        gen, params = self._gen()
+        zs = [jax.random.normal(jax.random.PRNGKey(1), (2, 512))]
+        stats = calibrate_generator(gen, params, zs,
+                                    [jax.random.PRNGKey(2)])
+        flat = jax.tree_util.tree_leaves(stats)
+        # res 32: block_2 conv_2; blocks 3..5 conv_1+conv_2; to_rgb = 8
+        assert len(flat) == 8 and all(v > 0 for v in flat)
+
+    def test_int8_generator_close_to_float(self):
+        """Worst case (random weights): per-block error stays LINEAR —
+        AdaIN's instance norm renormalizes after every conv — and the
+        final rgb stays within PTQ tolerance of the float path."""
+        from gan_segmentation_tpu.ops.quant import quantize_generator
+        gen, params = self._gen()
+        zs = [jax.random.normal(jax.random.PRNGKey(10 + i), (2, 512))
+              for i in range(2)]
+        nks = [jax.random.PRNGKey(20 + i) for i in range(2)]
+        q = quantize_generator(gen, params, zs, nks)
+        z = jax.random.normal(jax.random.PRNGKey(99), (2, 512))
+        nk = jax.random.PRNGKey(98)
+        rgb, feats = jax.jit(lambda p, z, k: gen.apply(
+            {"params": p}, z, rngs={"noise": k}))(params, z, nk)
+        rgbq, featsq = jax.jit(lambda p, q, z, k: gen.apply(
+            {"params": p, "quant": q}, z, rngs={"noise": k}))(params, q,
+                                                              z, nk)
+        rgb, rgbq = np.asarray(rgb), np.asarray(rgbq)
+        rel = np.linalg.norm(rgbq - rgb) / np.linalg.norm(rgb)
+        assert rel < 0.3, rel  # measured ~0.13 at res 64
+        rels = [float(np.linalg.norm(np.asarray(a) - np.asarray(b))
+                      / np.linalg.norm(np.asarray(b)))
+                for a, b in zip(featsq, feats)]
+        assert all(r < 0.3 for r in rels), rels
+        # linear, not multiplicative, growth: last/first bounded
+        assert rels[-1] < 10 * max(rels[0], 1e-3), rels
+
+    def test_quant_collection_absent_means_float_path(self):
+        """Without the quant collection the model is bit-identical to
+        before the quant seam existed (no sow side effects either)."""
+        gen, params = self._gen()
+        z = jax.random.normal(jax.random.PRNGKey(5), (1, 512))
+        nk = jax.random.PRNGKey(6)
+        out1, _ = jax.jit(lambda p, z, k: gen.apply(
+            {"params": p}, z, rngs={"noise": k}))(params, z, nk)
+        # calibration pass returns the SAME outputs as the plain pass
+        # (same jit treatment on both sides: fusion must not differ)
+        (out2, _), muts = jax.jit(lambda p, z, k: gen.apply(
+            {"params": p}, z, rngs={"noise": k},
+            mutable=["qstats"]))(params, z, nk)
+        np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+        assert "qstats" in muts
+
+
 def test_qtree_is_a_plain_jit_argument():
     """The quantized tree crosses jit as an argument (serving form: weights
     stay inputs, never baked-in constants — same rule as the bundle export)."""

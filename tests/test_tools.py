@@ -28,16 +28,17 @@ def test_retune_quick_sweep(capsys):
 
     results = retune.main(["--quick"])
     ok = [r for r in results if r["ok"]]
-    # both s2d depths, both batches, the s2d-off baselines, and the int8
-    # decoder configs (ops/quant.py)
-    assert len(results) == 8 and len(ok) == 8, results
+    # both s2d depths, both batches, the s2d-off baselines, and the int8 +
+    # int8-full quant configs (ops/quant.py)
+    assert len(results) == 10 and len(ok) == 10, results
     assert all(r["samples_per_sec"] > 0 for r in ok)
     assert sum(r["quant"] == "int8" for r in results) == 2
+    assert sum(r["quant"] == "int8-full" for r in results) == 2
     out = capsys.readouterr().out
     assert "samples/sec/chip" in out and "| batch |" in out
     # every emitted line before the table is valid JSON
     import json
     json_lines = [l for l in out.splitlines() if l.startswith("{")]
-    assert len(json_lines) == 8
+    assert len(json_lines) == 10
     for l in json_lines:
         json.loads(l)

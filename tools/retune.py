@@ -33,10 +33,12 @@ def sweep(batches, tails, max_res_log2, iters, include_no_s2d=True,
     if include_no_s2d:
         configs += [(b, 0, False, None) for b in batches]
     if include_quant:
-        # int8 decoder tail (ops/quant.py) at the default tail depth: lets
-        # first contact with real silicon answer whether its int8 conv
-        # emitter beats bf16 (2x nominal on the MXU) in one sweep
-        configs += [(b, 3, True, "int8") for b in batches]
+        # int8 decoder tail and full (generator too) int8 (ops/quant.py) at
+        # the default tail depth: lets first contact with real silicon
+        # answer whether its int8 conv emitter beats bf16 (2x nominal on
+        # the MXU) in one sweep
+        configs += [(b, 3, True, q) for b in batches
+                    for q in ("int8", "int8-full")]
     for batch, tail, s2d, quant in configs:
         rec = {"batch": batch, "s2d": s2d,
                "n_block_stages": tail if s2d else None,
