@@ -131,6 +131,33 @@ class TestFusedPipelineExport:
         np.testing.assert_array_equal(np.asarray(imgs), np.asarray(imgs2))
         np.testing.assert_array_equal(np.asarray(masks), np.asarray(masks2))
 
+    def test_int8_full_pipeline_bundle_roundtrip(self, pipeline, tmp_path):
+        """A fully quantized pipeline (generator + decoder int8,
+        ops/quant.py) exports through the BUNDLE form: int8 kernels and
+        scales ride params.msgpack, the ~50 generator activation scales are
+        closed-over constants, and the roundtrip reproduces the live
+        quantized program exactly."""
+        from gan_segmentation_tpu.core.export import (
+            export_fused_pipeline_bundle, load_bundle)
+        from gan_segmentation_tpu.train.generator import (FusedPipeline,
+                                                          ImageGenerator)
+        pipe_f, _, _ = pipeline  # reuse the fixture's trained solver
+        gen = ImageGenerator(gan="bedrooms", batch_size=2, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        pipe = FusedPipeline(gen, pipe_f.solver, quant="int8-full")
+        d = str(tmp_path / "gen_int8.bundle")
+        export_fused_pipeline_bundle(pipe, 2, d)
+        serve = load_bundle(d)
+        z = jax.random.normal(jax.random.PRNGKey(5), (2, 512), jnp.float32)
+        key = jax.random.PRNGKey(9)
+        live_imgs, live_masks = pipe._fused(pipe._gen_params,
+                                            pipe._prepared(), z, key)
+        imgs, masks = serve(np.asarray(z), jax.random.key_data(key))
+        np.testing.assert_array_equal(np.asarray(imgs),
+                                      np.asarray(live_imgs))
+        np.testing.assert_array_equal(np.asarray(masks),
+                                      np.asarray(live_masks))
+
     def test_bundle_matches_hermetic(self, pipeline, tmp_path):
         from gan_segmentation_tpu.core.export import (
             export_fused_pipeline_bundle, load_bundle)
