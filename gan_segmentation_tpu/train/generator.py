@@ -220,6 +220,13 @@ class FusedPipeline:
             # numpy, which jit would re-upload every step otherwise.
             from ..ops.quant import apply_s2d_int8, prepare_s2d_int8
 
+            if gen_quant is not None:
+                # one jit object for both calibration batches (a fresh
+                # lambda per batch would pay a second 30-90 s remote compile)
+                _calib_fwd = jax.jit(lambda p, z, k: gen_model.apply(
+                    {"params": p, "quant": gen_quant}, z,
+                    rngs={"noise": k}))
+
             def _prepare_int8(v):
                 # calibration uses FIXED keys, never the sampling stream:
                 # consuming self.gen._rng here would shift every emitted
@@ -237,10 +244,8 @@ class FusedPipeline:
                         _, feats = gen_ref._fwd(gen_ref.params, z,
                                                 jax.random.PRNGKey(200 + i))
                     else:
-                        _, feats = jax.jit(lambda p, z, k: gen_model.apply(
-                            {"params": p, "quant": gen_quant}, z,
-                            rngs={"noise": k}))(gen_ref.params, z,
-                                                jax.random.PRNGKey(200 + i))
+                        _, feats = _calib_fwd(gen_ref.params, z,
+                                              jax.random.PRNGKey(200 + i))
                     calib.append(feats)
                 return jax.device_put(prepare_s2d_int8(
                     dec_model, v, calib, n_block_stages))
