@@ -48,7 +48,11 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 
     ``quant="int8"``: decoder tail runs post-training int8 (`ops/quant.py`,
     s8xs8->s32 on the MXU at 2x the bf16 rate nominal), calibrated on two
-    generator batches; requires the s2d path.
+    fixed-key generator batches (`ops/quant.calibration_batches` — the
+    same protocol the CLI's FusedPipeline uses); requires the s2d path.
+    ``quant="int8-full"`` additionally quantizes the generator's synthesis
+    convs through the flax ``quant`` collection, putting ~100% of pipeline
+    conv FLOPs on the int8 path. Any other non-None value raises.
     """
     gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
@@ -65,18 +69,20 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     spatial = mesh is not None
     if spatial:
         s2d = False  # block re-tiling fights the H-shard; standard tail
+    if quant not in (None, "int8", "int8-full"):
+        # mirror FusedPipeline: a typo'd mode must fail loudly, never
+        # silently measure the bf16 path under an int8 label
+        raise ValueError(f"unknown quant mode {quant!r}")
     if quant and not s2d:
         raise ValueError("--quant requires the s2d decoder path")
 
     gen_quant = None
     if quant in ("int8", "int8-full"):
         from gan_segmentation_tpu.ops.quant import (apply_s2d_int8,
+                                                    calibration_batches,
                                                     prepare_s2d_int8,
                                                     quantize_generator)
-        czs = [jax.random.normal(jax.random.PRNGKey(100 + i),
-                                 (4, gcfg.latent_size), jnp.float32)
-               for i in range(2)]
-        cnks = [jax.random.PRNGKey(200 + i) for i in range(2)]
+        czs, cnks = calibration_batches(gcfg.latent_size, 4)
         if quant == "int8-full":
             # generator synthesis convs in s8 too (~36% of pipeline FLOPs);
             # the quant collection is ~50 scalars, closed over in fused

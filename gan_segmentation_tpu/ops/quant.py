@@ -47,6 +47,25 @@ _SITES: Tuple[Tuple[str, str], ...] = (
 _EPS = 1e-12
 
 
+def calibration_batches(latent_size: int, batch: int = 4,
+                        n: int = 2) -> Tuple[List, List]:
+    """The fixed-key calibration protocol shared by every int8 entrypoint.
+
+    Returns ``(zs, noise_keys)``: ``n`` z batches drawn with
+    ``PRNGKey(100+i)`` plus noise keys ``PRNGKey(200+i)``. The keys are
+    FIXED and disjoint from the emission z stream (``ImageGenerator``'s
+    seeded rng), so calibrating never shifts emitted samples — generate's
+    byte-identity and ``--resume`` invariants survive. Every caller
+    (``FusedPipeline``, ``bench.build_fused``) must use this one recipe so
+    benchmarks measure the same calibrated pipeline the CLI serves.
+    """
+    zs = [jax.random.normal(jax.random.PRNGKey(100 + i),
+                            (batch, latent_size), jnp.float32)
+          for i in range(n)]
+    keys = [jax.random.PRNGKey(200 + i) for i in range(n)]
+    return zs, keys
+
+
 def quantize_weight(k) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """HWIO kernel -> (int8 kernel, f32 per-out-channel scale)."""
     k = jnp.asarray(k, jnp.float32)

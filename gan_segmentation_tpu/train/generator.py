@@ -199,54 +199,43 @@ class FusedPipeline:
             raise ValueError("--quant requires the s2d decoder path "
                              "(decoder too shallow for a block tail?)")
         gen_quant = None
-        if quant == "int8-full":
-            # quantize the GENERATOR's synthesis convs too (ops/quant.py
-            # "generator" section): the quant collection is ~50 scalar
-            # scales, closed over below (XLA folds them as constants)
-            from ..ops.quant import quantize_generator
-            czs = [jax.random.normal(
-                jax.random.PRNGKey(100 + i),
-                (min(4, image_generator.batch_size),
-                 image_generator.cfg.latent_size), jnp.float32)
-                for i in range(2)]
-            cnks = [jax.random.PRNGKey(200 + i) for i in range(2)]
-            gen_quant = quantize_generator(gen_model,
-                                           image_generator.params, czs, cnks)
         if quant in ("int8", "int8-full"):
-            # post-training int8 (ops/quant.py): weights fold from the same
-            # prepare_s2d tree; activation scales self-calibrate on two
-            # generator batches at prepare time (one-time, ~2 extra
-            # generator runs). Device_put: the quantizer returns host
-            # numpy, which jit would re-upload every step otherwise.
-            from ..ops.quant import apply_s2d_int8, prepare_s2d_int8
-
-            if gen_quant is not None:
+            # Calibration uses the FIXED-key protocol (ops/quant.py
+            # calibration_batches — shared with bench.build_fused so the
+            # benchmark measures the same calibrated pipeline): never the
+            # sampling stream, so generate's byte-identity and --resume
+            # survive quantization.
+            from ..ops.quant import (apply_s2d_int8, calibration_batches,
+                                     prepare_s2d_int8, quantize_generator)
+            czs, cnks = calibration_batches(
+                image_generator.cfg.latent_size,
+                min(4, image_generator.batch_size))
+            if quant == "int8-full":
+                # quantize the GENERATOR's synthesis convs too (ops/quant.py
+                # "generator" section): the quant collection is ~50 scalar
+                # scales, closed over below (XLA folds them as constants)
+                gen_quant = quantize_generator(
+                    gen_model, image_generator.params, czs, cnks)
                 # one jit object for both calibration batches (a fresh
                 # lambda per batch would pay a second 30-90 s remote compile)
                 _calib_fwd = jax.jit(lambda p, z, k: gen_model.apply(
                     {"params": p, "quant": gen_quant}, z,
                     rngs={"noise": k}))
+            else:
+                _calib_fwd = image_generator._fwd
+            # The calibration pyramids depend only on the generator params
+            # (fixed for this pipeline's lifetime) and the fixed keys —
+            # compute them ONCE here, not per decoder refold: the
+            # annotator's Retrain path swaps only SOLVER params, and each
+            # refold would otherwise pay two generator dispatches. int8-full
+            # calibrates the decoder on the QUANTIZED generator's pyramid —
+            # the distribution it will serve.
+            calib = [_calib_fwd(image_generator.params, z, k)[1]
+                     for z, k in zip(czs, cnks)]
 
             def _prepare_int8(v):
-                # calibration uses FIXED keys, never the sampling stream:
-                # consuming self.gen._rng here would shift every emitted
-                # sample, breaking generate's byte-identity and --resume.
-                # int8-full calibrates the decoder on the QUANTIZED
-                # generator's pyramid — the distribution it will serve.
-                gen_ref = self.gen
-                calib = []
-                for i in range(2):
-                    z = jax.random.normal(
-                        jax.random.PRNGKey(100 + i),
-                        (min(4, gen_ref.batch_size),
-                         gen_ref.cfg.latent_size), jnp.float32)
-                    if gen_quant is None:
-                        _, feats = gen_ref._fwd(gen_ref.params, z,
-                                                jax.random.PRNGKey(200 + i))
-                    else:
-                        _, feats = _calib_fwd(gen_ref.params, z,
-                                              jax.random.PRNGKey(200 + i))
-                    calib.append(feats)
+                # Device_put: the quantizer returns host numpy, which jit
+                # would re-upload every step otherwise.
                 return jax.device_put(prepare_s2d_int8(
                     dec_model, v, calib, n_block_stages))
 

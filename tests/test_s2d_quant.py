@@ -170,6 +170,59 @@ class TestGeneratorQuant:
         # linear, not multiplicative, growth: last/first bounded
         assert rels[-1] < 10 * max(rels[0], 1e-3), rels
 
+    def test_int8_deconv_branch_matches_float(self):
+        """Conv2DTransposeW's int8 branch — the fused-upscale deconv that
+        StyleBlock only instantiates at res_log2 >= 7
+        (`networks_stylegan.py:154`), so no small-res pipeline test reaches
+        it. The s8 input-dilated formulation (padding = k-1-p, lhs_dilation
+        = stride) must reproduce conv_transpose2d within PTQ tolerance."""
+        from gan_segmentation_tpu.models.layers import Conv2DTransposeW
+        from gan_segmentation_tpu.ops.quant import generator_quant_scales
+        layer = Conv2DTransposeW(features=8, use_bias=True)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16),
+                              jnp.float32)
+        params = jax.jit(layer.init)(jax.random.PRNGKey(1), x)["params"]
+        ref = jax.jit(lambda p, xx: layer.apply({"params": p}, xx))(params, x)
+        assert ref.shape == (2, 16, 16, 8)  # the 2x upscale happened
+        # calibrate exactly like calibrate_generator: sow absmax -> scales
+        _, muts = jax.jit(lambda p, xx: layer.apply(
+            {"params": p}, xx, mutable=["qstats"]))(params, x)
+        stats = jax.tree_util.tree_map(
+            lambda v: np.float32(v[0]), jax.device_get(muts["qstats"]),
+            is_leaf=lambda v: isinstance(v, tuple))
+        quant = generator_quant_scales(stats)
+        got = jax.jit(lambda p, q, xx: layer.apply(
+            {"params": p, "quant": q}, xx))(params, quant, x)
+        ref, got = np.asarray(ref), np.asarray(got)
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.05, rel
+
+    @pytest.mark.slow
+    def test_int8_generator_res7_covers_the_deconv(self):
+        """End-to-end at res_log2=7: StyleBlock flips to the fused-upscale
+        deconv, the calibration must cover it (a deconv_1 scale exists in
+        the quant tree) and the quantized forward stays within the same
+        worst-case tolerance as the small-res test."""
+        from gan_segmentation_tpu.ops.quant import quantize_generator
+        gen, params = self._gen(res=7)
+        zs = [jax.random.normal(jax.random.PRNGKey(10 + i), (1, 512))
+              for i in range(2)]
+        nks = [jax.random.PRNGKey(20 + i) for i in range(2)]
+        q = quantize_generator(gen, params, zs, nks)
+        flat = jax.tree_util.tree_flatten_with_path(q)[0]
+        paths = ["/".join(str(k) for k in p) for p, _ in flat]
+        assert any("deconv_1" in p for p in paths), paths
+        z = jax.random.normal(jax.random.PRNGKey(99), (1, 512))
+        nk = jax.random.PRNGKey(98)
+        rgb, _ = jax.jit(lambda p, zz, k: gen.apply(
+            {"params": p}, zz, rngs={"noise": k}))(params, z, nk)
+        rgbq, _ = jax.jit(lambda p, qq, zz, k: gen.apply(
+            {"params": p, "quant": qq}, zz, rngs={"noise": k}))(params, q,
+                                                                z, nk)
+        rgb, rgbq = np.asarray(rgb), np.asarray(rgbq)
+        rel = np.linalg.norm(rgbq - rgb) / np.linalg.norm(rgb)
+        assert rel < 0.3, rel
+
     def test_quant_collection_absent_means_float_path(self):
         """Without the quant collection the model is bit-identical to
         before the quant seam existed (no sow side effects either)."""
