@@ -66,7 +66,13 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
         apply_s2d_prepared, class_mask_s2d, prepare_s2d)
     from gan_segmentation_tpu.train.generator import class_mask
 
-    spatial = mesh is not None
+    # only a real ``space`` extent forces the standard tail: a pure
+    # data-parallel mesh (space=1) keeps the s2d path — batch sharding
+    # never crosses the per-sample H x W re-tiling (same rule as
+    # FusedPipeline)
+    from gan_segmentation_tpu.core.mesh import SPACE_AXIS
+    spatial = (mesh is not None and SPACE_AXIS in mesh.axis_names
+               and mesh.shape[SPACE_AXIS] > 1)
     if spatial:
         s2d = False  # block re-tiling fights the H-shard; standard tail
     if quant not in (None, "int8", "int8-full"):
@@ -135,9 +141,10 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2, spatial: int = 1, s2d: bool = True,
             n_block_stages: int = 3, serving: bool = False,
-            quant: str = None) -> float:
+            quant: str = None, dp: int = 1) -> tuple:
+    """Returns ``(samples/sec over the WHOLE mesh, n_chips_used)``."""
     from gan_segmentation_tpu.core.mesh import replicate, spatial_mesh
-    mesh = spatial_mesh(spatial)
+    mesh = spatial_mesh(spatial, dp=None if dp == 1 else dp)
     fused_raw, gp, dp = build_fused(max_res_log2, s2d=s2d,
                                     n_block_stages=n_block_stages, mesh=mesh,
                                     quant=quant)
@@ -230,7 +237,39 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
     for s in sums:
         int(s)
     dt = time.perf_counter() - t0
-    return batch * iters / dt
+    return batch * iters / dt, (mesh.size if mesh is not None else 1)
+
+
+def measure_latency(batch: int, iters: int, max_res_log2: int = 10,
+                    warmup: int = 3, quant: str = None) -> float:
+    """Median end-to-end z -> (image, mask) latency in ms at ``batch``
+    (default CLI use: batch 1 — the annotator-preview / online-serving
+    shape, one sample fully synchronized per request).
+
+    Unlike ``measure`` (which pipelines batches like the production writer
+    loop), every iteration here launches ONE program and waits for its
+    data-dependent checksum: dispatch overhead (~26 ms roundtrip on this
+    tunnel) is part of the number, as it is for a real interactive
+    request."""
+    fused_raw, gp, dp = build_fused(max_res_log2, quant=quant)
+
+    @jax.jit
+    def fused_sum(gp, dp, z, rng):
+        img, mask = fused_raw(gp, dp, z, rng)
+        return (jnp.sum(img.astype(jnp.int32))
+                + jnp.sum(mask.astype(jnp.int32)))
+
+    rng = jax.random.PRNGKey(0)
+    times = []
+    for i in range(warmup + iters):
+        z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
+        t0 = time.perf_counter()
+        int(fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i)))
+        dt = time.perf_counter() - t0
+        if i >= warmup:
+            times.append(dt)
+    times.sort()
+    return 1000.0 * times[len(times) // 2]
 
 
 _PROBE = ("import jax, jax.numpy as jnp; "
@@ -267,13 +306,20 @@ def main():
     # exit 1). The conv emitters keep improving with batch — 128 is the
     # largest compilable and the throughput sweet spot. s2d tail depth
     # sweep at b128: n_block_stages 2→439, 3→440, 4→428 — 3 is optimal.
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="default: 128 (throughput sweet spot, see sweep "
+                         "below), or 1 under --latency")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--max-res-log2", type=int, default=10)
     ap.add_argument(
         "--spatial", type=int, default=1, metavar="N",
         help="H-shard every image over N devices on a (data, space) mesh "
              "(spatial parallelism); N must divide the device count")
+    ap.add_argument(
+        "--dp", type=int, default=1, metavar="D",
+        help="shard the batch over D devices data-parallel (0 = all; "
+             "composes with --spatial into a (D, N) mesh); the reported "
+             "value stays per-chip")
     ap.add_argument(
         "--serving", action="store_true",
         help="measure the serialize->deserialize roundtripped StableHLO "
@@ -288,12 +334,26 @@ def main():
              "pipeline conv FLOPs (~97%% mask agreement / ~35 dB image "
              "PSNR on worst-case random weights)")
     ap.add_argument(
+        "--latency", action="store_true",
+        help="measure single-request latency instead of throughput: median "
+             "ms for one fully-synchronized z->(image, mask) program at "
+             "--batch (use --batch 1 for the interactive/annotator shape); "
+             "dispatch overhead is included, as a real request pays it")
+    ap.add_argument(
         "--watchdog", type=int, default=1800, metavar="SEC",
         help="hard deadline: emit an error JSON line and exit if the "
              "measurement has not completed (0 disables)")
     args = ap.parse_args()
+    if args.batch is None:
+        args.batch = 1 if args.latency else 128
+    if args.latency and (args.serving or args.spatial > 1 or args.dp != 1):
+        ap.error("--latency measures the plain single-chip program; it "
+                 "does not combine with --serving/--spatial/--dp")
 
-    metric = f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px"
+    if args.latency:
+        metric = f"z_to_image_mask_latency_ms_{2 ** args.max_res_log2}px"
+    else:
+        metric = f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px"
     if args.serving:
         metric += "_serving"
     if args.quant != "none":
@@ -302,6 +362,8 @@ def main():
         # a spatial run spans the whole (data, space) mesh; tag the metric
         # and normalize per chip below so it can't pass for the 1-chip number
         metric += f"_spatial{args.spatial}"
+    if args.dp != 1:
+        metric += f"_dp{args.dp}"
     if not preflight(metric):
         return
     t = None
@@ -314,13 +376,19 @@ def main():
         t.daemon = True
         t.start()
 
-    value = measure(args.batch, args.iters, args.max_res_log2,
-                    spatial=args.spatial, serving=args.serving,
-                    quant=None if args.quant == "none" else args.quant)
+    quant = None if args.quant == "none" else args.quant
+    if args.latency:
+        value = measure_latency(args.batch, max(args.iters, 5),
+                                args.max_res_log2, quant=quant)
+        unit = "ms"
+    else:
+        value, n_chips = measure(args.batch, args.iters, args.max_res_log2,
+                                 spatial=args.spatial, serving=args.serving,
+                                 quant=quant, dp=args.dp)
+        value /= n_chips  # whole-mesh -> per chip (n_chips=1 unmeshed)
+        unit = "samples/sec/chip"
     if t is not None:
         t.cancel()  # a near-deadline success must not race the error line
-    if args.spatial > 1:
-        value /= jax.device_count()  # whole-mesh throughput -> per chip
 
     baseline_file = join(dirname(__file__) or ".", "bench_baseline.json")
     vs_baseline = None
@@ -328,12 +396,16 @@ def main():
         with open(baseline_file) as fp:
             base = json.load(fp)
         ref = base.get("cpu_samples_per_sec")
-        if ref:
+        if ref and not args.latency:
             vs_baseline = value / ref
+        elif ref and args.latency:
+            # CPU reference latency for one sample ~= 1/rate; ratio = how
+            # many times faster one interactive request completes
+            vs_baseline = (1000.0 / ref) / value
     print(json.dumps({
         "metric": metric,
         "value": round(value, 3),
-        "unit": "samples/sec/chip",
+        "unit": unit,
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
     }))
 

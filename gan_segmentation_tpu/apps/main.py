@@ -42,6 +42,15 @@ def parse_args(argv=None):
              "(data, space) mesh (spatial parallelism; devices/N batch "
              "groups run data-parallel). N must divide the device count.")
     parser.add_argument(
+        "--dp", type=int, default=1, metavar="D",
+        help="generate: run the fused pipeline data-parallel over D local "
+             "devices (the TPU analog of the reference's multi-GPU "
+             "GAN_GPU_IDS generation, image_generator.py:17,95: the batch "
+             "is sharded over D chips; emitted pairs match --dp 1 up to "
+             "bf16 rounding). 0 = all local devices. Composes with --spatial "
+             "(D x N mesh); under multi-host each process uses its own "
+             "local chips.")
+    parser.add_argument(
         "--resume", action="store_true", default=False,
         help="generate: continue an interrupted emission — keep the "
              "contiguous (image, mask) pairs already on disk, fast-forward "
@@ -156,7 +165,8 @@ def resume_offset(dst_dir: str, start: int, n_local: int,
 
 
 def run_generate(cfg, spatial: int = 1, writer: str = "auto",
-                 resume: bool = False, quant: Optional[str] = None):
+                 resume: bool = False, quant: Optional[str] = None,
+                 dp: int = 1):
     import jax
     if spatial > 1 and jax.process_count() > 1:
         # A (data, space) mesh would span processes: the per-process z
@@ -185,14 +195,25 @@ def run_generate(cfg, spatial: int = 1, writer: str = "auto",
     netG = ImageGenerator(gan=cfg.GAN, gan_dir=cfg.GAN_DIR,
                           batch_size=batch_size,
                           max_res_log2=cfg.MAX_RES_LOG2, seed=pi)
-    from ..core.mesh import spatial_mesh
+    from ..core.mesh import DATA_AXIS, SPACE_AXIS, spatial_mesh
     try:
-        mesh = spatial_mesh(spatial)
+        # local_devices: under multi-host each process generates its own
+        # independent slice, so its mesh must stay process-local
+        # (core/mesh.py is_local_mesh — the single-controller sharding path)
+        mesh = spatial_mesh(spatial, dp=None if dp == 1 else dp,
+                            devices=jax.local_devices())
     except ValueError as exc:
         raise SystemExit(str(exc))
     if mesh is not None:
-        log.info("spatial parallelism: (%d data, %d space) mesh",
-                 len(jax.devices()) // spatial, spatial)
+        log.info("generation mesh (data=%d, space=%d): batch sharded over "
+                 "the data axis, image height over the space axis",
+                 mesh.shape[DATA_AXIS], mesh.shape[SPACE_AXIS])
+        if batch_size % mesh.shape[DATA_AXIS]:
+            log.warning(
+                "batch size %d does not divide the %d data-parallel "
+                "groups: batches run REPLICATED (correct but not "
+                "parallel); set GAN_BATCH_SIZE_PER_GPU so the product "
+                "divides --dp", batch_size, mesh.shape[DATA_AXIS])
     try:
         pipeline = FusedPipeline(netG, solver, mesh=mesh, quant=quant)
     except ValueError as exc:  # e.g. --quant with --spatial
@@ -271,7 +292,8 @@ def main(argv=None):
     elif args.action == "generate":
         run_generate(cfg, spatial=args.spatial, writer=args.writer,
                      resume=args.resume,
-                     quant=None if args.quant == "none" else args.quant)
+                     quant=None if args.quant == "none" else args.quant,
+                     dp=args.dp)
     else:
         run_annotation(cfg)
 

@@ -80,6 +80,18 @@ def _local_mesh_devices(mesh: Mesh):
             if d.process_index == jax.process_index()]
 
 
+def is_local_mesh(mesh: Mesh) -> bool:
+    """True when every device of ``mesh`` belongs to THIS process.
+
+    Under multi-host, a process-local mesh (e.g. `generate --dp` over
+    `jax.local_devices()`) is driven single-controller: each process runs
+    its own independent SPMD program over its own chips, so the
+    cross-process global-array assembly in `shard_batch`/`replicate` must
+    NOT apply — the plain `device_put` path is the correct one."""
+    pi = jax.process_index()
+    return all(d.process_index == pi for d in mesh.devices.flat)
+
+
 def local_data_count(mesh: Mesh) -> int:
     """How many ``data``-axis positions of ``mesh`` this process owns (= the
     number of distinct batch shards its local devices carry). On a 1-D mesh
@@ -110,8 +122,13 @@ def shard_batch(mesh: Mesh, tree):
     per-process data differs, so silent replication would be wrong), and
     processes must tile the data axis contiguously in process-index order
     (the default `jax.devices()` mesh layout).
+
+    A PROCESS-LOCAL mesh (`is_local_mesh`) is exempt from all of the
+    above even under multi-host: it is driven single-controller with this
+    process's own data (per-process independent generation), so the plain
+    `device_put` path applies.
     """
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not is_local_mesh(mesh):
         rows = local_data_count(mesh)
 
         def put_global(x):
@@ -159,9 +176,11 @@ def replicate(mesh: Mesh, tree):
 
     Multi-host: every process must pass the SAME values (e.g. params built
     from the same seed); the replicated global array is assembled from each
-    process's local copies.
+    process's local copies. A process-local mesh (`is_local_mesh`) instead
+    takes the plain single-controller path — its values are private to this
+    process by construction.
     """
-    if jax.process_count() > 1:
+    if jax.process_count() > 1 and not is_local_mesh(mesh):
         local = _local_mesh_devices(mesh)
         sharding = replicated_sharding(mesh)
 
@@ -177,19 +196,44 @@ def replicate(mesh: Mesh, tree):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
 
 
-def spatial_mesh(spatial: int, devices: Optional[Sequence] = None):
-    """CLI helper for ``--spatial N``: None for N<=1, else the
-    ``(ndev/N data, N space)`` mesh. Raises ValueError unless N divides the
-    device count. Shared by `main.py generate --spatial` and
-    `bench.py --spatial`."""
-    if spatial <= 1:
-        return None
+def spatial_mesh(spatial: int, dp: Optional[int] = None,
+                 devices: Optional[Sequence] = None):
+    """CLI helper for ``--spatial N`` / ``--dp D`` on the generate paths.
+
+    Returns the generation mesh, or None for the plain single-device path:
+
+    - ``spatial<=1, dp in (None, 1)``: None (one device, no mesh).
+    - ``spatial>1, dp=None``: the ``(ndev/N data, N space)`` mesh over ALL
+      devices (the original ``--spatial`` contract); raises ValueError
+      unless N divides the device count.
+    - ``dp>=1`` explicit: a ``(dp, spatial)`` mesh over the first
+      ``dp*spatial`` devices — ``dp`` batch groups run data-parallel,
+      each image H-sharded over ``spatial`` chips. ``dp=0`` means "all
+      remaining": ``ndev//spatial`` rows (so ``--dp 0`` alone = pure data
+      parallelism over every device). Raises ValueError when
+      ``dp*spatial`` exceeds the device count.
+
+    Shared by `main.py generate --spatial/--dp` and `bench.py`.
+    """
     if devices is None:
         devices = jax.devices()
-    if len(devices) % spatial:
-        raise ValueError(f"--spatial {spatial} must divide the device "
-                         f"count ({len(devices)})")
-    return make_mesh_2d(len(devices) // spatial, spatial, devices)
+    if spatial <= 1 and (dp is None or dp == 1):
+        return None
+    if dp is None:
+        if len(devices) % spatial:
+            raise ValueError(f"--spatial {spatial} must divide the device "
+                             f"count ({len(devices)})")
+        dp = len(devices) // spatial
+    elif dp == 0:
+        dp = len(devices) // max(1, spatial)
+    spatial = max(1, spatial)
+    if dp == 1 and spatial == 1:
+        return None  # e.g. --dp 0 on a single-device host
+    if dp < 1 or dp * spatial > len(devices):
+        raise ValueError(
+            f"--dp {dp} x --spatial {spatial} needs {dp * spatial} devices, "
+            f"but only {len(devices)} are available")
+    return make_mesh_2d(dp, spatial, devices)
 
 
 def spatial_spec(ndim: int) -> P:

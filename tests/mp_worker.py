@@ -71,6 +71,33 @@ def main():
     solver_c.fit()
     assert solver_c.cache_active, "device cache did not engage multi-host"
 
+    # Per-process LOCAL-mesh data-parallel generation (`generate --dp`
+    # under multi-host): each process shards its own batch over its own 4
+    # local devices — `is_local_mesh` must route `replicate`/`shard_batch`
+    # down the single-controller path (the process-spanning global-array
+    # assembly would corrupt per-process-private data), and the pairs must
+    # equal this process's unmeshed run.
+    import numpy as np
+
+    from gan_segmentation_tpu.core.mesh import is_local_mesh, spatial_mesh
+    from gan_segmentation_tpu.train.generator import (FusedPipeline,
+                                                      ImageGenerator)
+
+    local_mesh = spatial_mesh(1, dp=0, devices=jax.local_devices())
+    assert local_mesh.devices.shape == (4, 1)
+    assert is_local_mesh(local_mesh)
+
+    def pairs(mesh):
+        gen = ImageGenerator(gan="bedrooms", batch_size=4, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent",
+                             seed=int(pid))
+        return list(FusedPipeline(gen, solver, inference_dtype=None,
+                                  mesh=mesh).generate_pairs(4))
+
+    for (ia, ma), (ib, mb) in zip(pairs(None), pairs(local_mesh)):
+        assert np.mean(np.abs(ia.astype(int) - ib.astype(int)) > 1) < 1e-3
+        assert np.mean(ma != mb) < 1e-3
+
     from jax.experimental import multihost_utils
     multihost_utils.sync_global_devices("fit-done")
 

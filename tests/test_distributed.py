@@ -93,6 +93,27 @@ def test_spatial_mesh_helper():
         spatial_mesh(3)
 
 
+def test_spatial_mesh_dp():
+    """`spatial_mesh(dp=...)` (the `--dp D` CLI flag): explicit data-axis
+    extent, 0 = all remaining devices, composes with spatial, ValueError
+    past the device count, and a process-local mesh is recognized."""
+    from gan_segmentation_tpu.core.mesh import is_local_mesh, spatial_mesh
+
+    m = spatial_mesh(1, dp=8)  # pure data parallelism
+    assert m.devices.shape == (8, 1)
+    assert spatial_mesh(0, dp=0).devices.shape == (8, 1)  # 0 = all
+    assert spatial_mesh(1, dp=4).devices.shape == (4, 1)  # subset is fine
+    assert spatial_mesh(2, dp=3).devices.shape == (3, 2)  # no divisibility
+    assert spatial_mesh(1, dp=1) is None  # explicit single device
+    with pytest.raises(ValueError):
+        spatial_mesh(2, dp=5)  # 10 > 8 devices
+    with pytest.raises(ValueError):
+        spatial_mesh(1, dp=-1)
+    # single process: every mesh is local (the multi-host distinction is
+    # exercised by tests/test_multiprocess.py)
+    assert is_local_mesh(m)
+
+
 def test_local_data_count():
     """Single process owns every data-axis position: the full device count
     on a 1-D mesh, only the distinct data ROWS on a (data, space) mesh

@@ -119,6 +119,46 @@ class TestFusedPipeline:
             unpacked = np.unpackbits(masks, axis=-1)
             assert set(np.unique(unpacked)) <= {0, 1}
 
+    def test_dp_mesh_pipeline(self, trained_setup):
+        """Pure data parallelism (`--dp`, the TPU analog of the reference's
+        multi-GPU generation, `image_generator.py:17,95`): on a (8, 1) mesh
+        the batch shards over all devices, the s2d tail stays enabled
+        (unlike spatial mode), and the emitted pairs match the
+        single-device run — per-sample compute is batch-position
+        independent, so DP must not change what generate writes."""
+        from gan_segmentation_tpu.core.mesh import spatial_mesh
+
+        _, _, solver = trained_setup
+
+        def pairs_with(mesh):
+            gen = ImageGenerator(gan="bedrooms", batch_size=8, dtype="fp32",
+                                 max_res_log2=5, gan_dir="/nonexistent",
+                                 seed=13)
+            pipe = FusedPipeline(gen, solver, inference_dtype=None,
+                                 mesh=mesh)
+            return list(pipe.generate_pairs(8))
+
+        plain = pairs_with(None)
+        dp = pairs_with(spatial_mesh(1, dp=0))
+        for (ia, ma), (ib, mb) in zip(plain, dp):
+            # same tolerance as the spatial test: uint8 quantization can
+            # flip a boundary pixel under reassociation across programs
+            assert np.mean(np.abs(ia.astype(int) - ib.astype(int)) > 1) < 1e-3
+            assert np.mean(ma != mb) < 1e-3
+
+    def test_quant_composes_with_dp(self, trained_setup):
+        """int8 rides the s2d tail, which a pure-DP mesh keeps — so quant
+        + --dp must construct (only spatial mode rejects it)."""
+        from gan_segmentation_tpu.core.mesh import spatial_mesh
+
+        _, _, solver = trained_setup
+        gen = ImageGenerator(gan="bedrooms", batch_size=8, dtype="fp32",
+                             max_res_log2=5, gan_dir="/nonexistent")
+        pipe = FusedPipeline(gen, solver, mesh=spatial_mesh(1, dp=0),
+                             quant="int8")
+        (img, mask), = list(pipe.generate_pairs(1))
+        assert img.shape == (32, 32, 3) and mask.shape == (32, 32)
+
     def test_spatial_mesh_pipeline(self, trained_setup):
         """Spatial parallelism as a capability (VERDICT r2 #3): the same
         pipeline on a (2, 4) mesh — each image H-sharded over 4 devices —
@@ -260,3 +300,20 @@ MAX_RES_LOG2: 5
         main(["generate", "--resume", "--config", str(cfg_file)])
         got = {p.name: p.read_bytes() for p in out.iterdir()}
         assert got == ref_bytes
+
+        # data-parallel leg (--dp 4: the batch of 4 shards one sample per
+        # device): same file set, near-identical masks. The CLI pipeline is
+        # bf16, where the sharded program's different op tilings shift
+        # rounding — measured <=0.8% boundary-pixel flips on these random
+        # weights (fp32 is ~bit-identical: test_dp_mesh_pipeline)
+        import cv2
+        ref_masks = {p.name: cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+                     for p in out.glob("mask_*.png")}
+        for p in out.iterdir():
+            p.unlink()
+        main(["generate", "--dp", "4", "--config", str(cfg_file)])
+        assert sorted(p.name for p in out.iterdir()) == sorted(ref_bytes)
+        for p in out.glob("mask_*.png"):
+            m = cv2.imread(str(p), cv2.IMREAD_GRAYSCALE)
+            diff = np.mean(m != ref_masks[p.name])
+            assert diff < 0.02, (p.name, diff)
