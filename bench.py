@@ -145,12 +145,12 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
     """Returns ``(samples/sec over the WHOLE mesh, n_chips_used)``."""
     from gan_segmentation_tpu.core.mesh import replicate, spatial_mesh
     mesh = spatial_mesh(spatial, dp=None if dp == 1 else dp)
-    fused_raw, gp, dp = build_fused(max_res_log2, s2d=s2d,
-                                    n_block_stages=n_block_stages, mesh=mesh,
-                                    quant=quant)
+    fused_raw, gp, dprep = build_fused(max_res_log2, s2d=s2d,
+                                       n_block_stages=n_block_stages,
+                                       mesh=mesh, quant=quant)
     if mesh is not None:
         gp = replicate(mesh, gp)
-        dp = replicate(mesh, jax.device_get(dp))
+        dprep = replicate(mesh, jax.device_get(dprep))
 
     # measurement wrapper: reduce outputs to ONE scalar on device and pull
     # it each iteration. On the axon remote backend block_until_ready is not
@@ -168,7 +168,7 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
         from gan_segmentation_tpu.core.export import read_bundle, save_bundle
 
-        weights = {"gp": gp, "dp": dp}
+        weights = {"gp": gp, "dp": dprep}
 
         def serve_fn(w, z, key_data):
             return fused_raw(w["gp"], w["dp"], z,
@@ -224,7 +224,7 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
         def launch(i):
             z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
-            return fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i))
+            return fused_sum(gp, dprep, z, jax.random.fold_in(rng, 1000 + i))
 
     for i in range(warmup):
         int(launch(i))
