@@ -103,9 +103,12 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
         calib = [gfwd(gparams, z, k) for z, k in zip(czs, cnks)]
         # device-resident like the bf16 tree (a jit output): the quantizer
         # returns host numpy, which jit would re-upload EVERY call —
-        # poisoning the int8-vs-bf16 comparison with H2D transfer time
-        dprep = jax.device_put(prepare_s2d_int8(dec, dvars, calib,
-                                                n_block_stages))
+        # poisoning the int8-vs-bf16 comparison with H2D transfer time.
+        # With a mesh the caller replicates from host anyway — a
+        # device_put here would just be a wasted roundtrip.
+        dprep = prepare_s2d_int8(dec, dvars, calib, n_block_stages)
+        if mesh is None:
+            dprep = jax.device_put(dprep)
     elif s2d:
         dprep = jax.jit(
             lambda v: prepare_s2d(dec, v, n_block_stages))(dvars)
@@ -224,6 +227,15 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
         def launch(i):
             z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
+            if mesh is not None:
+                # commit z batch-sharded onto `data` (exactly what
+                # FusedPipeline.sample_batch does): without it GSPMD sees
+                # an unsharded operand and a pure-dp program (no
+                # constrain_spatial) compiles fully REPLICATED — every
+                # chip would redo the whole batch and the per-chip
+                # division below would under-report by mesh.size
+                from gan_segmentation_tpu.core.mesh import shard_batch
+                z = shard_batch(mesh, z)
             return fused_sum(gp, dprep, z, jax.random.fold_in(rng, 1000 + i))
 
     for i in range(warmup):
@@ -277,13 +289,13 @@ _PROBE = ("import jax, jax.numpy as jnp; "
           " == 64.0")
 
 
-def _emit_error(metric, reason):
+def _emit_error(metric, reason, unit="samples/sec/chip"):
     print(json.dumps({"metric": metric, "value": 0.0,
-                      "unit": "samples/sec/chip", "vs_baseline": None,
+                      "unit": unit, "vs_baseline": None,
                       "error": reason}), flush=True)
 
 
-def preflight(metric, timeout=150):
+def preflight(metric, timeout=150, unit="samples/sec/chip"):
     """Fail fast instead of hanging: the axon tunnel can wedge mid-session
     (jit dispatch/D2H never returns and is uninterruptible in-process), so
     probe it from a killable subprocess before building anything."""
@@ -293,7 +305,7 @@ def preflight(metric, timeout=150):
         return True
     except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
         _emit_error(metric, f"device unresponsive ({type(e).__name__}): "
-                            "axon tunnel wedged?")
+                            "axon tunnel wedged?", unit)
         return False
 
 
@@ -352,8 +364,10 @@ def main():
 
     if args.latency:
         metric = f"z_to_image_mask_latency_ms_{2 ** args.max_res_log2}px"
+        unit = "ms"
     else:
         metric = f"z_to_image_mask_samples_per_sec_{2 ** args.max_res_log2}px"
+        unit = "samples/sec/chip"
     if args.serving:
         metric += "_serving"
     if args.quant != "none":
@@ -364,13 +378,13 @@ def main():
         metric += f"_spatial{args.spatial}"
     if args.dp != 1:
         metric += f"_dp{args.dp}"
-    if not preflight(metric):
+    if not preflight(metric, unit=unit):
         return
     t = None
     if args.watchdog:
         def _expire():
             _emit_error(metric, f"watchdog: no result in {args.watchdog}s "
-                                "(device wedged mid-run?)")
+                                "(device wedged mid-run?)", unit)
             os._exit(3)
         t = threading.Timer(args.watchdog, _expire)
         t.daemon = True
@@ -380,13 +394,11 @@ def main():
     if args.latency:
         value = measure_latency(args.batch, max(args.iters, 5),
                                 args.max_res_log2, quant=quant)
-        unit = "ms"
     else:
         value, n_chips = measure(args.batch, args.iters, args.max_res_log2,
                                  spatial=args.spatial, serving=args.serving,
                                  quant=quant, dp=args.dp)
         value /= n_chips  # whole-mesh -> per chip (n_chips=1 unmeshed)
-        unit = "samples/sec/chip"
     if t is not None:
         t.cancel()  # a near-deadline success must not race the error line
 

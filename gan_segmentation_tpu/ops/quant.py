@@ -57,7 +57,9 @@ def calibration_batches(latent_size: int, batch: int = 4,
     seeded rng), so calibrating never shifts emitted samples — generate's
     byte-identity and ``--resume`` invariants survive. Every caller
     (``FusedPipeline``, ``bench.build_fused``) must use this one recipe so
-    benchmarks measure the same calibrated pipeline the CLI serves.
+    benchmarks measure the same calibrated pipeline the CLI serves — and
+    that includes the default ``batch`` of 4: the same key at a different
+    shape is a completely different draw, not a prefix.
     """
     zs = [jax.random.normal(jax.random.PRNGKey(100 + i),
                             (batch, latent_size), jnp.float32)
@@ -116,7 +118,8 @@ def collect_calibration(dec, prepared: Dict, inputs: List[jnp.ndarray],
 def prepare_s2d_int8(dec, variables: Dict,
                      calib_inputs: Sequence[List[jnp.ndarray]],
                      n_block_stages: int = 3,
-                     prepared: Optional[Dict] = None) -> Dict:
+                     prepared: Optional[Dict] = None,
+                     prepare_fn=None, collect_fn=None) -> Dict:
     """Quantize a decoder for :func:`apply_s2d_int8`.
 
     ``calib_inputs``: a few representative feature pyramids (each shaped
@@ -125,14 +128,24 @@ def prepare_s2d_int8(dec, variables: Dict,
     (``k0``/``ksc``/... now int8) and biases (f32), plus per-site
     ``<kkey>_deq`` (f32 per-channel dequant = s_in * s_w) and
     ``<kkey>_inv`` (f32 scalar = 1/s_in) tensors the int8 hook reads.
+
+    ``prepare_fn``/``collect_fn``: optional prebuilt ``jax.jit`` objects
+    for the fold and calibration programs. A caller that re-quantizes for
+    each new parameter set (the annotator's Retrain swaps solver params
+    per round) must pass the SAME objects every time — jit caching is
+    keyed on function identity, so the fresh lambdas built here would
+    otherwise retrace + recompile per refold (30-90 s each on a
+    remote-compile backend).
     """
     assert len(calib_inputs) > 0, "need at least one calibration pyramid"
     if prepared is None:
-        prepared = jax.jit(
-            lambda v: prepare_s2d(dec, v, n_block_stages))(variables)
+        if prepare_fn is None:
+            prepare_fn = jax.jit(
+                lambda v: prepare_s2d(dec, v, n_block_stages))
+        prepared = prepare_fn(variables)
 
-    collect = jax.jit(lambda p, f: collect_calibration(
-        dec, p, f, n_block_stages))
+    collect = collect_fn if collect_fn is not None else jax.jit(
+        lambda p, f: collect_calibration(dec, p, f, n_block_stages))
     stats: Dict[str, float] = {}
     for feats in calib_inputs:
         got = jax.device_get(collect(prepared, feats))

@@ -206,10 +206,13 @@ class FusedPipeline:
             # sampling stream, so generate's byte-identity and --resume
             # survive quantization.
             from ..ops.quant import (apply_s2d_int8, calibration_batches,
-                                     prepare_s2d_int8, quantize_generator)
-            czs, cnks = calibration_batches(
-                image_generator.cfg.latent_size,
-                min(4, image_generator.batch_size))
+                                     collect_calibration, prepare_s2d_int8,
+                                     quantize_generator)
+            # the protocol's FIXED batch of 4 regardless of the pipeline
+            # batch size: PRNGKey(100+i) at a different shape is a
+            # different sample, so varying the batch here would calibrate
+            # a different pipeline than bench validates
+            czs, cnks = calibration_batches(image_generator.cfg.latent_size)
             if quant == "int8-full":
                 # quantize the GENERATOR's synthesis convs too (ops/quant.py
                 # "generator" section): the quant collection is ~50 scalar
@@ -233,11 +236,24 @@ class FusedPipeline:
             calib = [_calib_fwd(image_generator.params, z, k)[1]
                      for z, k in zip(czs, cnks)]
 
+            # ONE jit object each for the fold and calibration programs,
+            # reused across refolds: the annotator's Retrain swaps solver
+            # params every round, and fresh lambdas per refold would pay
+            # two 30-90 s remote recompiles each time
+            _prep_jit = jax.jit(
+                lambda v: prepare_s2d(dec_model, v, n_block_stages))
+            _collect_jit = jax.jit(lambda p, f: collect_calibration(
+                dec_model, p, f, n_block_stages))
+
             def _prepare_int8(v):
+                prep = prepare_s2d_int8(dec_model, v, calib, n_block_stages,
+                                        prepare_fn=_prep_jit,
+                                        collect_fn=_collect_jit)
                 # Device_put: the quantizer returns host numpy, which jit
-                # would re-upload every step otherwise.
-                return jax.device_put(prepare_s2d_int8(
-                    dec_model, v, calib, n_block_stages))
+                # would re-upload every step otherwise. With a mesh,
+                # _prepared() replicates from host anyway — a device_put
+                # here would be a wasted H2D+D2H roundtrip.
+                return prep if self.mesh is not None else jax.device_put(prep)
 
             self._prepare = _prepare_int8
         elif use_s2d:

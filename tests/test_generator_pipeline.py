@@ -94,6 +94,31 @@ class TestFusedPipeline:
                        for r, q in zip(ref_pairs, q_pairs)])
         assert rel < 0.3, rel
 
+    def test_quant_calibration_independent_of_batch_size(self, trained_setup):
+        """The int8 calibration protocol is FIXED at batch 4
+        (`ops/quant.calibration_batches`): a pipeline with a smaller
+        sampling batch must still produce the exact same quantization
+        scales, or `bench.py --quant` would validate a different pipeline
+        than a small-batch CLI config serves."""
+        import jax
+
+        _, _, solver = trained_setup
+
+        def scales(bs):
+            gen = ImageGenerator(gan="bedrooms", batch_size=bs, dtype="fp32",
+                                 max_res_log2=5, gan_dir="/nonexistent")
+            pipe = FusedPipeline(gen, solver, quant="int8")
+            return jax.device_get(pipe._prepared())
+
+        a, b = scales(2), scales(4)
+        af = jax.tree_util.tree_flatten_with_path(a)[0]
+        bf = jax.tree_util.tree_flatten_with_path(b)[0]
+        assert len(af) == len(bf) > 0
+        for (pa, va), (pb, vb) in zip(af, bf):
+            assert pa == pb
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb),
+                                          err_msg=str(pa))
+
     def test_quant_rejects_spatial(self, trained_setup):
         _, _, solver = trained_setup
         import jax
