@@ -220,3 +220,80 @@ def test_two_process_deeplab_trainer_matches_single_process(tmp_path):
                                    rtol=1e-2, atol=1e-3, err_msg=k)
     # primary-only checkpointing
     assert (out_dir / "ckpt" / "last_checkpoint.params").exists()
+
+
+@pytest.mark.slow
+def test_two_process_generate_cli(tmp_path):
+    """The REAL user CLI, multi-host: two `main.py generate --dp 0`
+    processes (4 virtual CPU devices each, gloo) must split GENERATE_NUM
+    into disjoint contiguous slices, each drive a process-LOCAL (4, 1)
+    data-parallel mesh (`is_local_mesh` single-controller path), and
+    together leave one complete dataset on the shared directory.
+
+    The reference's emission loop is single-host only
+    (`main.py:75-104` + `image_generator.py:17,95`)."""
+    base = tmp_path / "exp"
+    (base / "data").mkdir(parents=True)
+    make_annotation_dir(base / "data", n_samples=4, max_res_log2=5, seed=0)
+
+    # train the tiny decoder once, single-process; both workers load the
+    # shared checkpoint (the same assumption production multi-host makes)
+    cfg = SolverConfig(max_res_log2=5)
+    cfg.train_epochs = 2
+    solver = SegSolver(5, str(base / "data"), str(base / "checkpoints"),
+                       cfg=cfg)
+    solver.fit()
+
+    cfg_file = tmp_path / "config.yml"
+    cfg_file.write_text(f"""
+BASE_DIR: {base}
+GAN: bedrooms
+GAN_DIR: {tmp_path}/no-models
+GAN_GPU_IDS: [0]
+GAN_BATCH_SIZE_PER_GPU: 4
+SOLVER_GPU_IDS: [0]
+ANNOTATION: segmentation
+GENERATE_NUM: 6
+MAX_RES_LOG2: 5
+""")
+
+    worker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "mp_worker_generate.py")
+    env = dict(os.environ)
+    env.pop("PYTEST_CURRENT_TEST", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    port = _free_port()
+    procs = [subprocess.Popen(
+        [sys.executable, worker, port, str(i), str(cfg_file)],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=1500)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-4000:]}"
+        assert f"worker {i} OK" in out
+
+    out_dir = base / "dataset" / "train_generated"
+    imgs = sorted(p.name for p in out_dir.glob("img_*.jpg"))
+    masks = sorted(p.name for p in out_dir.glob("mask_*.png"))
+    assert imgs == [f"img_{i:06d}.jpg" for i in range(6)], imgs
+    assert masks == [f"mask_{i:06d}.png" for i in range(6)], masks
+
+    import cv2
+    for name in masks:
+        m = cv2.imread(str(out_dir / name), cv2.IMREAD_GRAYSCALE)
+        assert m is not None and m.shape == (32, 32)
+        assert set(np.unique(m)) <= {0, 1}, name
+    # the slices come from distinct per-process z streams (seed =
+    # process_index): process 1's first pair differs from process 0's
+    a = (out_dir / "img_000000.jpg").read_bytes()
+    b = (out_dir / "img_000003.jpg").read_bytes()
+    assert a != b
