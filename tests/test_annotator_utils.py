@@ -114,3 +114,56 @@ class TestExtraLosses:
         labels = jnp.asarray(rs.randint(-1, 2, (2, 8, 8)).astype(np.int32))
         loss, mult = normalized_focal_loss_sigmoid(logits, labels)
         assert loss.shape == (2,) and np.isfinite(np.asarray(loss)).all()
+
+
+class TestVizHelpers:
+    """`deeplabv3plus/lib/utils/viz.py:6-28`, `utils.py:69-109`."""
+
+    def test_vocpallete_golden(self):
+        from gan_segmentation_tpu.utils.viz import getvocpallete
+        pal = getvocpallete(4)
+        # gluoncv bit-interleave: 0->black, 1->dark red, 2->dark green,
+        # 3->dark yellow
+        assert pal[:3] == [0, 0, 0]
+        assert pal[3:6] == [128, 0, 0]
+        assert pal[6:9] == [0, 128, 0]
+        assert pal[9:12] == [128, 128, 0]
+
+    def test_visualize_mask_maps_labels_and_shifts_ignore(self):
+        from gan_segmentation_tpu.utils.viz import visualize_mask
+        mask = np.array([[-1, 0], [1, 1]], np.int32)
+        rgb = visualize_mask(mask, num_classes=3)
+        assert rgb.shape == (2, 2, 3) and rgb.dtype == np.uint8
+        # -1 shifts the whole mask by +1: ignore -> palette[0] (black),
+        # 0 -> palette[1], 1 -> palette[2]
+        assert (rgb[0, 0] == [0, 0, 0]).all()
+        assert (rgb[0, 1] == [128, 0, 0]).all()
+        assert (rgb[1, 0] == [0, 128, 0]).all()
+        # without negatives there is no shift
+        rgb2 = visualize_mask(np.array([[1]], np.int32), num_classes=3)
+        assert (rgb2[0, 0] == [128, 0, 0]).all()
+
+    def test_get_draw_mask_overlay(self):
+        from gan_segmentation_tpu.utils.viz import (get_draw_mask,
+                                                    get_seg_color_map)
+        img = np.full((2, 2, 3), 100, np.uint8)
+        mask = np.array([[0, 1], [2, 0]], np.int32)
+        out = get_draw_mask(img, mask, alpha=0.5)
+        cmap = dict((k, v) for k, v in get_seg_color_map())
+        # background untouched (skip_background=True, `utils.py:88-89`)
+        assert (out[0, 0] == 100).all() and (out[1, 1] == 100).all()
+        np.testing.assert_array_equal(
+            out[0, 1], (0.5 * cmap[1] + 0.5 * 100).astype(np.uint8))
+        np.testing.assert_array_equal(
+            out[1, 0], (0.5 * cmap[2] + 0.5 * 100).astype(np.uint8))
+
+    def test_morph_mask_removes_specks_keeps_blobs(self):
+        from gan_segmentation_tpu.utils.viz import morph_mask
+        mask = np.zeros((32, 32), np.uint8)
+        mask[8:24, 8:24] = 1          # solid blob survives
+        mask[12, 12] = 0              # pinhole gets closed
+        mask[1, 1] = 1                # lone speck gets opened away
+        out = morph_mask(mask)
+        assert out[12, 12] == 1
+        assert out[1, 1] == 0
+        assert out[10:22, 10:22].all()

@@ -101,3 +101,32 @@ def test_jit_generator():
     rgb, feats = fwd(params, z, jax.random.PRNGKey(3))
     assert rgb.shape == (4, 32, 32, 3)
     assert np.isfinite(np.asarray(rgb)).all()
+
+
+def test_minibatch_std_layer_matches_numpy_reference():
+    """`networks_stylegan.py:327-345`: the appended channel holds, for each
+    sample n, the mean-over-(C,H,W) group stddev of its group column
+    m = n % M (mxnet's row-major (G, M, ...) reshape assigns sample
+    n = g*M + m to column m; the [M,1,1,1] -> tile-by-G replication maps
+    value m back to every n with n % M == m)."""
+    from gan_segmentation_tpu.models.layers import minibatch_std_layer
+
+    rng = np.random.RandomState(7)
+    n, h, w, c, g = 6, 4, 4, 3, 2
+    x = rng.randn(n, h, w, c).astype(np.float32)
+
+    out = np.asarray(minibatch_std_layer(jnp.asarray(x), group_size=g))
+    assert out.shape == (n, h, w, c + 1)
+    np.testing.assert_array_equal(out[..., :c], x)
+
+    m = n // g
+    grouped = x.reshape(g, m, h, w, c)              # sample n -> (n//m, n%m)
+    std = np.sqrt(grouped.var(axis=0) + 1e-8)       # (M,H,W,C)
+    expected = std.mean(axis=(1, 2, 3))             # (M,)
+    for i in range(n):
+        np.testing.assert_allclose(out[i, ..., c], expected[i % m],
+                                   rtol=1e-6, atol=1e-6)
+
+    # the extra channel is constant over (H, W) and identical within a
+    # group column
+    assert np.allclose(out[0, ..., c], out[m, ..., c])
