@@ -144,8 +144,8 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2, spatial: int = 1, s2d: bool = True,
             n_block_stages: int = 3, serving: bool = False,
-            quant: str = None, dp: int = 1) -> tuple:
-    """Returns ``(samples/sec over the WHOLE mesh, n_chips_used)``."""
+            quant: str = None, dp: int = 1, repeat: int = 1) -> tuple:
+    """Returns ``([samples/sec over the WHOLE mesh] * repeat, n_chips)``."""
     from gan_segmentation_tpu.core.mesh import replicate, spatial_mesh
     mesh = spatial_mesh(spatial, dp=None if dp == 1 else dp)
     fused_raw, gp, dprep = build_fused(max_res_log2, s2d=s2d,
@@ -244,12 +244,22 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
     # in flight): launch all iterations async, then pull every checksum.
     # The remote backend has a ~26 ms synchronous roundtrip; pipelining
     # amortizes it like the real writer loop does.
-    t0 = time.perf_counter()
-    sums = [launch(warmup + i) for i in range(iters)]
-    for s in sums:
-        int(s)
-    dt = time.perf_counter() - t0
-    return batch * iters / dt, (mesh.size if mesh is not None else 1)
+    #
+    # ``repeat`` re-runs the timed window N times on the SAME compiled
+    # program (back-to-back, interleaved in one session) so headline
+    # numbers can be reported as median +/- spread instead of a single
+    # capture — BASELINE.md documents 2.5x BETWEEN-session variance on
+    # this virtualized chip, and one sample cannot distinguish a fast
+    # window from a fast program.
+    rates = []
+    for r in range(repeat):
+        t0 = time.perf_counter()
+        sums = [launch(warmup + r * iters + i) for i in range(iters)]
+        for s in sums:
+            int(s)
+        dt = time.perf_counter() - t0
+        rates.append(batch * iters / dt)
+    return rates, (mesh.size if mesh is not None else 1)
 
 
 def measure_latency(batch: int, iters: int, max_res_log2: int = 10,
@@ -288,28 +298,104 @@ _PROBE = ("import jax, jax.numpy as jnp; "
           "assert float(jax.jit(lambda a: jnp.sum(a*a))(jnp.ones((8,8))))"
           " == 64.0")
 
+# sidecar written on every successful capture, keyed by metric name: the
+# terminal error JSON quotes it so a wedged-tunnel round still records
+# what the code last measured (VERDICT r3 #1 — BENCH_r03 was 0.0 while
+# the same binary did ~440 in-session)
+_LAST_GOOD = os.environ.get(
+    "GAN_SEG_BENCH_LAST_GOOD",
+    join(dirname(__file__) or ".", "bench_last_good.json"))
 
-def _emit_error(metric, reason, unit="samples/sec/chip"):
-    print(json.dumps({"metric": metric, "value": 0.0,
-                      "unit": unit, "vs_baseline": None,
-                      "error": reason}), flush=True)
 
-
-def preflight(metric, timeout=150, unit="samples/sec/chip"):
-    """Fail fast instead of hanging: the axon tunnel can wedge mid-session
-    (jit dispatch/D2H never returns and is uninterruptible in-process), so
-    probe it from a killable subprocess before building anything."""
+def _read_last_good(metric):
     try:
-        subprocess.run([sys.executable, "-c", _PROBE], timeout=timeout,
-                       check=True, capture_output=True)
-        return True
-    except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
-        _emit_error(metric, f"device unresponsive ({type(e).__name__}): "
-                            "axon tunnel wedged?", unit)
-        return False
+        with open(_LAST_GOOD) as fp:
+            return json.load(fp).get(metric)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_last_good(metric, value, unit):
+    try:
+        data = {}
+        if isfile(_LAST_GOOD):
+            with open(_LAST_GOOD) as fp:
+                data = json.load(fp)
+    except (OSError, ValueError):
+        data = {}
+    data[metric] = {"value": round(value, 3), "unit": unit,
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S")}
+    tmp = _LAST_GOOD + ".tmp"
+    with open(tmp, "w") as fp:
+        json.dump(data, fp, indent=1)
+    os.replace(tmp, _LAST_GOOD)
+
+
+def _emit_error(metric, reason, unit="samples/sec/chip", retries=None):
+    out = {"metric": metric, "value": 0.0, "unit": unit,
+           "vs_baseline": None, "error": reason}
+    if retries is not None:
+        out["preflight_retries"] = retries
+    lg = _read_last_good(metric)
+    if lg:
+        out["last_good"] = lg
+        out["error"] += (f"; last good = {lg['value']} {lg['unit']} "
+                         f"at {lg['ts']}")
+    print(json.dumps(out), flush=True)
+
+
+def preflight(metric, timeout=150, unit="samples/sec/chip",
+              deadline=None, backoff=75):
+    """Probe the device from a killable subprocess before building anything
+    (the axon tunnel can wedge mid-session: jit dispatch/D2H never returns
+    and is uninterruptible in-process).
+
+    A wedge is usually TRANSIENT — so on failure this retries every
+    ``backoff`` seconds until ``deadline`` (time.monotonic) instead of
+    zeroing the round on a single probe. Only when the whole budget is
+    spent does it emit the error JSON (with retry count + last-good
+    context) and give up."""
+    retries = 0
+    while True:
+        remaining = None if deadline is None else deadline - time.monotonic()
+        if remaining is not None and remaining <= 0:
+            break
+        probe_t = timeout if remaining is None else min(timeout, remaining)
+        try:
+            subprocess.run([sys.executable, "-c", _PROBE], timeout=probe_t,
+                           check=True, capture_output=True)
+            if retries:
+                print(f"# preflight: device recovered after {retries} "
+                      "failed probe(s)", file=sys.stderr, flush=True)
+            return True
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as e:
+            retries += 1
+            err = type(e).__name__
+            if deadline is None:
+                break
+            remaining = deadline - time.monotonic()
+            if remaining <= backoff:
+                break
+            print(f"# preflight: probe {retries} failed ({err}); "
+                  f"retrying in {backoff}s ({remaining:.0f}s of budget "
+                  "left)", file=sys.stderr, flush=True)
+            time.sleep(backoff)
+    _emit_error(metric, f"device unresponsive after {retries} probe(s) "
+                        "over the watchdog budget: axon tunnel wedged?",
+                unit, retries=retries)
+    return False
 
 
 def main():
+    # honor an explicit JAX_PLATFORMS request through the config API (the
+    # axon sitecustomize force-registers the TPU backend over the env var);
+    # lets the CPU-mesh suite smoke the full CLI path
+    env_platform = os.environ.get("JAX_PLATFORMS")
+    if env_platform and jax.config.jax_platforms != env_platform:
+        try:
+            jax.config.update("jax_platforms", env_platform)
+        except RuntimeError:  # backend already initialized; keep going
+            pass
     from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
     enable_persistent_cache()  # repeat bench runs skip the 30-90s compiles
     ap = argparse.ArgumentParser()
@@ -354,7 +440,14 @@ def main():
     ap.add_argument(
         "--watchdog", type=int, default=1800, metavar="SEC",
         help="hard deadline: emit an error JSON line and exit if the "
-             "measurement has not completed (0 disables)")
+             "measurement has not completed (0 disables); a wedged device "
+             "preflight retries with backoff inside this same budget")
+    ap.add_argument(
+        "--repeat", type=int, default=1, metavar="N",
+        help="capture the timed window N times back-to-back on the same "
+             "compiled program and report the MEDIAN (plus min/max/all "
+             "captures in the JSON line) — the repeated-capture protocol "
+             "for headline numbers on this variance-prone chip")
     args = ap.parse_args()
     if args.batch is None:
         args.batch = 1 if args.latency else 128
@@ -378,29 +471,45 @@ def main():
         metric += f"_spatial{args.spatial}"
     if args.dp != 1:
         metric += f"_dp{args.dp}"
-    if not preflight(metric, unit=unit):
+    # one monotonic deadline governs BOTH the preflight retry loop and the
+    # measurement watchdog: a transient tunnel wedge burns retry time, not
+    # the round (VERDICT r3 #1)
+    deadline = (time.monotonic() + args.watchdog) if args.watchdog else None
+    if not preflight(metric, unit=unit, deadline=deadline):
         return
     t = None
-    if args.watchdog:
+    if deadline is not None:
         def _expire():
             _emit_error(metric, f"watchdog: no result in {args.watchdog}s "
                                 "(device wedged mid-run?)", unit)
             os._exit(3)
-        t = threading.Timer(args.watchdog, _expire)
+        t = threading.Timer(max(deadline - time.monotonic(), 1), _expire)
         t.daemon = True
         t.start()
 
     quant = None if args.quant == "none" else args.quant
+    captures = None
     if args.latency:
-        value = measure_latency(args.batch, max(args.iters, 5),
-                                args.max_res_log2, quant=quant)
+        values = [measure_latency(args.batch, max(args.iters, 5),
+                                  args.max_res_log2, quant=quant)
+                  for _ in range(max(args.repeat, 1))]
     else:
-        value, n_chips = measure(args.batch, args.iters, args.max_res_log2,
+        rates, n_chips = measure(args.batch, args.iters, args.max_res_log2,
                                  spatial=args.spatial, serving=args.serving,
-                                 quant=quant, dp=args.dp)
-        value /= n_chips  # whole-mesh -> per chip (n_chips=1 unmeshed)
+                                 quant=quant, dp=args.dp,
+                                 repeat=max(args.repeat, 1))
+        # whole-mesh -> per chip (n_chips=1 unmeshed)
+        values = [v / n_chips for v in rates]
+    values.sort()
+    value = values[len(values) // 2]  # median (upper on even N)
+    if args.repeat > 1:
+        captures = {"repeat": len(values),
+                    "min": round(values[0], 3),
+                    "max": round(values[-1], 3),
+                    "all": [round(v, 3) for v in values]}
     if t is not None:
         t.cancel()  # a near-deadline success must not race the error line
+    _write_last_good(metric, value, unit)
 
     baseline_file = join(dirname(__file__) or ".", "bench_baseline.json")
     vs_baseline = None
@@ -414,12 +523,15 @@ def main():
             # CPU reference latency for one sample ~= 1/rate; ratio = how
             # many times faster one interactive request completes
             vs_baseline = (1000.0 / ref) / value
-    print(json.dumps({
+    out = {
         "metric": metric,
         "value": round(value, 3),
         "unit": unit,
         "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
-    }))
+    }
+    if captures:
+        out["captures"] = captures
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,111 @@
+"""bench.py capture hardening: preflight retry-with-backoff, the last-good
+sidecar, and the --repeat median protocol (VERDICT r3 items #1 and #6).
+
+The round-3 official bench recorded 0.0 because a transient axon-tunnel
+wedge failed ONE preflight probe; these tests pin the behavior that makes
+that impossible again: the probe retries inside the watchdog budget, and
+every error line carries the last successfully captured value.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from os.path import dirname, isfile, join
+
+import pytest
+
+ROOT = dirname(dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+import bench  # noqa: E402
+
+
+def test_preflight_retries_until_deadline(monkeypatch, capsys):
+    """A failing probe is retried with backoff until the budget is spent;
+    the terminal error JSON records the retry count."""
+    monkeypatch.setattr(bench, "_PROBE", "import sys; sys.exit(1)")
+    t0 = time.monotonic()
+    ok = bench.preflight("m", timeout=5, deadline=t0 + 3.0, backoff=0.2)
+    assert not ok
+    assert time.monotonic() - t0 >= 0.5  # actually slept between probes
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.0
+    # >=2 proves the loop retried (python subprocess startup is ~1.3 s on
+    # this 1-core host, so a 3 s budget fits only a couple of probes)
+    assert out["preflight_retries"] >= 2
+    assert "probe(s)" in out["error"]
+
+
+def test_preflight_recovers_mid_budget(monkeypatch, capsys, tmp_path):
+    """A probe that fails then succeeds returns True (measurement can
+    proceed) — the transient-wedge scenario."""
+    flag = tmp_path / "second_try"
+    probe = (f"import os, sys; p = {str(flag)!r}; "
+             "ok = os.path.exists(p); open(p, 'w').close(); "
+             "sys.exit(0 if ok else 1)")
+    monkeypatch.setattr(bench, "_PROBE", probe)
+    ok = bench.preflight("m", timeout=10,
+                         deadline=time.monotonic() + 30, backoff=0.1)
+    assert ok
+    assert capsys.readouterr().out == ""  # no error JSON on success
+
+
+def test_last_good_sidecar_roundtrip(monkeypatch, capsys, tmp_path):
+    side = str(tmp_path / "last_good.json")
+    monkeypatch.setattr(bench, "_LAST_GOOD", side)
+    bench._write_last_good("metric_a", 440.25, "samples/sec/chip")
+    bench._write_last_good("metric_b", 39.8, "ms")
+    lg = bench._read_last_good("metric_a")
+    assert lg["value"] == 440.25 and lg["unit"] == "samples/sec/chip"
+    assert "ts" in lg
+    # the error line for metric_a quotes its own last-good, not metric_b's
+    bench._emit_error("metric_a", "tunnel wedged", retries=7)
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["last_good"]["value"] == 440.25
+    assert out["preflight_retries"] == 7
+    assert "last good = 440.25 samples/sec/chip at" in out["error"]
+    # unknown metric: no last_good key, error line unchanged
+    bench._emit_error("metric_c", "tunnel wedged")
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "last_good" not in out and out["error"] == "tunnel wedged"
+
+
+def test_emit_error_survives_corrupt_sidecar(monkeypatch, capsys, tmp_path):
+    side = tmp_path / "last_good.json"
+    side.write_text("{not json")
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(side))
+    bench._emit_error("m", "boom")
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["error"] == "boom"
+    # and a fresh write replaces the corrupt file
+    bench._write_last_good("m", 1.5, "x")
+    assert bench._read_last_good("m")["value"] == 1.5
+
+
+@pytest.mark.slow
+def test_bench_cli_repeat_on_cpu(tmp_path):
+    """Full CLI path at tiny res on the CPU backend: --repeat 2 emits the
+    median plus a captures block, and the success path writes the
+    last-good sidecar."""
+    side = str(tmp_path / "last_good.json")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["GAN_SEG_BENCH_LAST_GOOD"] = side
+    r = subprocess.run(
+        [sys.executable, join(ROOT, "bench.py"), "--max-res-log2", "5",
+         "--batch", "2", "--iters", "2", "--repeat", "2",
+         "--watchdog", "900"],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["metric"] == "z_to_image_mask_samples_per_sec_32px"
+    assert out["value"] > 0
+    cap = out["captures"]
+    assert cap["repeat"] == 2 and len(cap["all"]) == 2
+    assert cap["min"] <= out["value"] <= cap["max"]
+    assert isfile(side)
+    with open(side) as fp:
+        lg = json.load(fp)[out["metric"]]
+    assert lg["value"] == out["value"]

@@ -44,10 +44,11 @@ def sweep(batches, tails, max_res_log2, iters, include_no_s2d=True,
                "n_block_stages": tail if s2d else None,
                "quant": quant, "max_res_log2": max_res_log2}
         try:
-            v, n_chips = measure(batch, iters, max_res_log2, s2d=s2d,
-                                 n_block_stages=tail if s2d else 3,
-                                 quant=quant)
-            rec.update(ok=True, samples_per_sec=round(v / n_chips, 2))
+            rates, n_chips = measure(batch, iters, max_res_log2, s2d=s2d,
+                                     n_block_stages=tail if s2d else 3,
+                                     quant=quant)
+            rec.update(ok=True,
+                       samples_per_sec=round(rates[0] / n_chips, 2))
         except Exception as exc:  # compile ceiling, OOM, ...
             rec.update(ok=False, error=f"{type(exc).__name__}: {exc}"[:200])
         results.append(rec)
