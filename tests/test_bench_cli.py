@@ -96,8 +96,8 @@ def test_bench_cli_repeat_on_cpu(tmp_path):
     r = subprocess.run(
         [sys.executable, join(ROOT, "bench.py"), "--max-res-log2", "5",
          "--batch", "2", "--iters", "2", "--repeat", "2",
-         "--watchdog", "900"],
-        env=env, capture_output=True, text=True, timeout=900)
+         "--watchdog", "1400"],
+        env=env, capture_output=True, text=True, timeout=1500)
     assert r.returncode == 0, r.stderr[-2000:]
     out = json.loads(r.stdout.strip().splitlines()[-1])
     assert out["metric"] == "z_to_image_mask_samples_per_sec_32px"
