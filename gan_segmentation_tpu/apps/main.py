@@ -79,7 +79,8 @@ def build_solver(cfg, keep_weights=False):
     max_res_log2 = cfg.max_res_log2
     return SegSolver(max_res_log2, join(cfg.BASE_DIR, "data"),
                      join(cfg.BASE_DIR, "checkpoints"),
-                     keep_weights=keep_weights)
+                     keep_weights=keep_weights,
+                     cfg=cfg.solver_config())
 
 
 def run_train(cfg):

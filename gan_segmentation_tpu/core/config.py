@@ -135,10 +135,39 @@ class AppConfig:
     # extension: override the per-domain resolution table (tiny configs for
     # tests / smoke runs); None -> MAX_RES_LOG2[GAN]
     MAX_RES_LOG2: Optional[int] = None
+    # extensions: multi-class segmentation from the top-level config. The
+    # reference hard-codes num_classes=2/cls_type='hair' in the solver cfg
+    # (`seg_solver.py:92-94`) and edits source for face (9-class) /
+    # hair_with_skin (3) / LSUN (150, `metrics.py:7-35`); here the same
+    # knobs ride config.yml. NUM_CLASSES > 2 implies the annotation masks
+    # hold raw class indices, so PREPROCESS_MASK (the binary trimap
+    # >192/64..192/<64 mapping, `seg_datasets.py:85-106`) defaults off.
+    NUM_CLASSES: Optional[int] = None
+    CLS_TYPE: Optional[str] = None
+    NOT_IGNORE_CLASSES: Optional[Sequence[int]] = None
+    PREPROCESS_MASK: Optional[bool] = None
 
     @property
     def max_res_log2(self) -> int:
         return self.MAX_RES_LOG2 or MAX_RES_LOG2[self.GAN]
+
+    def solver_config(self) -> "SolverConfig":
+        """The SolverConfig this app config implies (reference analog:
+        `main.py:54-60` building SegSolver from `seg_solver.py:83-132`
+        defaults; the class keys are our multi-class extension)."""
+        num_classes = self.NUM_CLASSES or 2
+        preprocess = (self.PREPROCESS_MASK if self.PREPROCESS_MASK is not None
+                      else num_classes == 2)
+        cfg = SolverConfig(
+            max_res_log2=self.max_res_log2,
+            num_classes=num_classes,
+            preprocess_mask=preprocess,
+            not_ignore_classes=(list(self.NOT_IGNORE_CLASSES)
+                                if self.NOT_IGNORE_CLASSES else None),
+        )
+        if self.CLS_TYPE:
+            cfg.cls_type = self.CLS_TYPE
+        return cfg
 
 
 def load_config_file(path: str) -> AppConfig:

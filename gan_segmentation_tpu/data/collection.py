@@ -199,13 +199,21 @@ class CollectionDataset:
 
 
 def save_annotation_sample(db_dir: str, index: int, img_rgb: np.ndarray,
-                           trimap: np.ndarray, features: List[np.ndarray]):
+                           trimap: np.ndarray, features: List[np.ndarray],
+                           raw_mask: bool = False):
     """Write one annotated triple in the reference's on-disk format
     (`seg_annotator.py:322-337`): img_%06d.jpg (BGR on disk),
     mask_%06d.png (gray trimap encoding), feat_%06d.pickle (list of NCHW-
-    compatible CHW float32 arrays so reference tools can read them)."""
+    compatible CHW float32 arrays so reference tools can read them).
+
+    ``raw_mask``: write class indices verbatim instead of the binary
+    trimap gray encoding — the multi-class annotation convention
+    (num_classes > 2 collections are read with ``preprocess_mask=False``,
+    `seg_datasets.py:85-106` applying only to the binary protocol)."""
     cv2.imwrite(join(db_dir, f"img_{index:06d}.jpg"), img_rgb[:, :, ::-1])
-    cv2.imwrite(join(db_dir, f"mask_{index:06d}.png"), gray_from_trimap(trimap))
+    mask_u8 = (np.asarray(trimap).astype(np.uint8) if raw_mask
+               else gray_from_trimap(trimap))
+    cv2.imwrite(join(db_dir, f"mask_{index:06d}.png"), mask_u8)
     chw = [np.ascontiguousarray(np.transpose(f, (2, 0, 1)), np.float32)
            for f in features]
     with open(join(db_dir, f"feat_{index:06d}.pickle"), "wb") as fp:

@@ -25,13 +25,15 @@ def getvocpallete(num_cls: int) -> List[int]:
 
 
 def visualize_mask(mask: np.ndarray, num_classes: int) -> np.ndarray:
-    """int mask (H, W) -> RGB uint8 using the VOC palette; negative labels
-    are shifted up by one like the reference's ``pred_offset`` handling."""
+    """int mask (H, W) -> RGB uint8 using the VOC palette. Ignore labels
+    (-1) render as background (palette[0]), all other labels keep their own
+    colors — `deeplabv3plus/lib/utils/viz.py:24-28` (``mask[mask == -1] = 0``;
+    any offset, e.g. ``pred_offset``, is the caller's job)."""
     mask = np.asarray(mask, np.int32)
-    shifted = mask + (1 if mask.min() < 0 else 0)
-    pal = np.asarray(getvocpallete(max(num_classes, shifted.max() + 1)),
+    mask = np.where(mask < 0, 0, mask)
+    pal = np.asarray(getvocpallete(max(num_classes, int(mask.max()) + 1)),
                      np.uint8).reshape(-1, 3)
-    return pal[np.clip(shifted, 0, len(pal) - 1)]
+    return pal[np.clip(mask, 0, len(pal) - 1)]
 
 
 def get_seg_color_map():

@@ -129,17 +129,20 @@ class TestVizHelpers:
         assert pal[6:9] == [0, 128, 0]
         assert pal[9:12] == [128, 128, 0]
 
-    def test_visualize_mask_maps_labels_and_shifts_ignore(self):
+    def test_visualize_mask_maps_ignore_to_background(self):
         from gan_segmentation_tpu.utils.viz import visualize_mask
-        mask = np.array([[-1, 0], [1, 1]], np.int32)
+        mask = np.array([[-1, 0], [1, 2]], np.int32)
         rgb = visualize_mask(mask, num_classes=3)
         assert rgb.shape == (2, 2, 3) and rgb.dtype == np.uint8
-        # -1 shifts the whole mask by +1: ignore -> palette[0] (black),
-        # 0 -> palette[1], 1 -> palette[2]
-        assert (rgb[0, 0] == [0, 0, 0]).all()
-        assert (rgb[0, 1] == [128, 0, 0]).all()
-        assert (rgb[1, 0] == [0, 128, 0]).all()
-        # without negatives there is no shift
+        # reference semantics (viz.py:24-28): -1 renders as background,
+        # every other label keeps its own palette color
+        assert (rgb[0, 0] == [0, 0, 0]).all()   # ignore -> palette[0]
+        assert (rgb[0, 1] == [0, 0, 0]).all()   # class 0 -> black
+        assert (rgb[1, 0] == [128, 0, 0]).all()  # class 1 -> dark red
+        assert (rgb[1, 1] == [0, 128, 0]).all()  # class 2 -> dark green
+        # the input mask is NOT mutated (unlike the reference's in-place
+        # assignment)
+        assert mask[0, 0] == -1
         rgb2 = visualize_mask(np.array([[1]], np.int32), num_classes=3)
         assert (rgb2[0, 0] == [128, 0, 0]).all()
 
