@@ -217,6 +217,57 @@ class TestFusedPipelineExport:
         np.testing.assert_array_equal(np.asarray(masks),
                                       np.asarray(ref_masks))
 
+    def test_serves_in_fresh_process(self, pipeline, tmp_path):
+        """Across a PROCESS boundary: a subprocess with no shared jax state
+        (fresh backend, single CPU device, loader API only — see
+        serve_worker.py) loads both export forms and reproduces this
+        process's outputs up to recompilation rounding: the serving host
+        compiles the portable StableHLO fresh for ITS flags/features, so a
+        float landing exactly on a u8 quantization boundary may flip by 1
+        (observed 1/6144 px) — images must match within ±1 and mask bits
+        within 0.5%, same tolerance as test_bundle_matches_hermetic. Ref
+        anchor: the checkpoint-consumer contract, `seg_solver.py:331-349`."""
+        import os
+        import subprocess
+        import sys
+
+        from gan_segmentation_tpu.core.export import (
+            export_fused_pipeline_bundle, load_bundle)
+
+        pipe, _, _ = pipeline
+        hpath = str(tmp_path / "gen.stablehlo")
+        export_fused_pipeline(pipe, 2, hpath)
+        bdir = str(tmp_path / "gen.bundle")
+        export_fused_pipeline_bundle(pipe, 2, bdir)
+
+        z = np.random.RandomState(11).randn(2, 512).astype(np.float32)
+        kd = np.asarray(jax.random.key_data(jax.random.PRNGKey(6)))
+        in_npz = str(tmp_path / "in.npz")
+        np.savez(in_npz, a0=z, a1=kd)
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {**os.environ, "PYTHONPATH": repo}
+        worker = os.path.join(repo, "tests", "serve_worker.py")
+        for kind, path, local in (
+                ("artifact", hpath, load_artifact(hpath)),
+                ("bundle", bdir, load_bundle(bdir))):
+            out_npz = str(tmp_path / f"out_{kind}.npz")
+            r = subprocess.run(
+                [sys.executable, worker, kind, path, in_npz, out_npz],
+                capture_output=True, text=True, timeout=900, env=env,
+                cwd=str(tmp_path))  # NOT the repo: imports go via PYTHONPATH
+            assert r.returncode == 0 and "serve-ok" in r.stdout, \
+                (r.stdout + r.stderr)[-2000:]
+            got = np.load(out_npz)
+            ref_imgs, ref_masks = local(z, kd)
+            img_diff = np.abs(got["out0"].astype(np.int16) -
+                              np.asarray(ref_imgs, dtype=np.int16))
+            assert img_diff.max() <= 1 and np.mean(img_diff > 0) < 0.005, \
+                (kind, img_diff.max(), np.mean(img_diff > 0))
+            m1 = np.unpackbits(got["out1"], axis=-1)
+            m2 = np.unpackbits(np.asarray(ref_masks), axis=-1)
+            assert np.mean(m1 != m2) < 0.005, (kind, np.mean(m1 != m2))
+
     def test_export_cli(self, pipeline, tmp_path):
         """apps.export generate: config -> artifact -> runs."""
         from gan_segmentation_tpu.apps import export as export_cli
