@@ -33,7 +33,7 @@ from gan_segmentation_tpu.models.stylegan import StyleGanGenerator, init_generat
 
 def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
                 s2d: bool = True, n_block_stages: int = 3, mesh=None,
-                quant: str = None):
+                quant: str = None, fold_blur: bool = False):
     """Returns ``(fused, gen_params, dec_prepared)`` with
     ``fused(gen_params, dec_prepared, z, rng) -> (uint8 img, uint8 mask)``.
 
@@ -54,7 +54,8 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     convs through the flax ``quant`` collection, putting ~100% of pipeline
     conv FLOPs on the int8 path. Any other non-None value raises.
     """
-    gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16")
+    gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16",
+                     fold_blur=fold_blur)
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
     scfg = SolverConfig(max_res_log2=max_res_log2)
     dec = decoder_from_config(scfg, compute_dtype=dtype)
@@ -144,13 +145,15 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
 def measure(batch: int, iters: int, max_res_log2: int = 10,
             warmup: int = 2, spatial: int = 1, s2d: bool = True,
             n_block_stages: int = 3, serving: bool = False,
-            quant: str = None, dp: int = 1, repeat: int = 1) -> tuple:
+            quant: str = None, dp: int = 1, repeat: int = 1,
+            fold_blur: bool = False) -> tuple:
     """Returns ``([samples/sec over the WHOLE mesh] * repeat, n_chips)``."""
     from gan_segmentation_tpu.core.mesh import replicate, spatial_mesh
     mesh = spatial_mesh(spatial, dp=None if dp == 1 else dp)
     fused_raw, gp, dprep = build_fused(max_res_log2, s2d=s2d,
                                        n_block_stages=n_block_stages,
-                                       mesh=mesh, quant=quant)
+                                       mesh=mesh, quant=quant,
+                                       fold_blur=fold_blur)
     if mesh is not None:
         gp = replicate(mesh, gp)
         dprep = replicate(mesh, jax.device_get(dprep))
@@ -443,6 +446,13 @@ def main():
              "measurement has not completed (0 disables); a wedged device "
              "preflight retries with backoff inside this same budget")
     ap.add_argument(
+        "--fold-blur", choices=("on", "off"), default="off",
+        help="fold the generator's post-upscale [1,2,1] blur into the "
+             "fused-upscale deconv kernel (exact rewrite, "
+             "ops/conv.conv_transpose2d_blur). Measured NEGATIVE on this "
+             "chip (see BASELINE.md 'Blur-fold'): default off; 'on' is the "
+             "A/B variant for re-evaluation on real silicon")
+    ap.add_argument(
         "--repeat", type=int, default=1, metavar="N",
         help="capture the timed window N times back-to-back on the same "
              "compiled program and report the MEDIAN (plus min/max/all "
@@ -471,6 +481,9 @@ def main():
         metric += f"_spatial{args.spatial}"
     if args.dp != 1:
         metric += f"_dp{args.dp}"
+    if args.fold_blur == "on":
+        # A/B runs must not overwrite the headline's last-good sidecar
+        metric += "_blurfold"
     # one monotonic deadline governs BOTH the preflight retry loop and the
     # measurement watchdog: a transient tunnel wedge burns retry time, not
     # the round (VERDICT r3 #1)
@@ -497,7 +510,8 @@ def main():
         rates, n_chips = measure(args.batch, args.iters, args.max_res_log2,
                                  spatial=args.spatial, serving=args.serving,
                                  quant=quant, dp=args.dp,
-                                 repeat=max(args.repeat, 1))
+                                 repeat=max(args.repeat, 1),
+                                 fold_blur=args.fold_blur == "on")
         # whole-mesh -> per chip (n_chips=1 unmeshed)
         values = [v / n_chips for v in rates]
     values.sort()

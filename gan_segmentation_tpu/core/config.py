@@ -36,6 +36,15 @@ class GanConfig:
     # mapping-net dense layers run with lr_mult 0.01 folded into the forward
     # weight scale (`image_generator.py:42`, `networks_stylegan.py:134-136`)
     mapping_lr_mult: float = 0.01
+    # fold the post-upscale [1,2,1] blur into the fused-upscale deconv kernel
+    # (ops/conv.conv_transpose2d_blur — exact rewrite incl. the border ring).
+    # MEASURED NEGATIVE on this chip, default OFF: the composed k6s2 kernel
+    # costs 2.25x the k4 deconv MACs, which outweighs the depthwise blur's
+    # read+write it deletes (512->1024 block, b16: 50.2 ms sequential vs
+    # 86.7 ms folded steady-state; full folded pipeline also compiles
+    # pathologically, >20 min vs ~2 min). See BASELINE.md "Blur-fold".
+    # Kept as an exact, tested rewrite for re-evaluation on real silicon.
+    fold_blur: bool = False
 
     def num_features(self, res_log2: int) -> int:
         # `networks_stylegan.py:114-116`

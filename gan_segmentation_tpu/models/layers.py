@@ -12,9 +12,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..ops.blur import blur_kernel
+from ..ops.blur import blur_3x3, blur_kernel
 from ..ops.conv import (_UP2, compose_kernel_2d, conv2d, conv_transpose2d,
-                        depthwise_conv2d, upsample2x_conv2d)
+                        conv_transpose2d_blur, depthwise_conv2d,
+                        upsample2x_conv2d)
 from ..ops.norm import instance_norm
 from ..ops.wscale import wscale_std
 
@@ -161,6 +162,12 @@ class Conv2DTransposeW(nn.Module):
     gain: float = float(np.sqrt(2))
     lr_mult: float = 1.0
     compute_dtype: jnp.dtype = jnp.float32
+    # when set, this module's output INCLUDES the reference's post-upscale
+    # [1,2,1] blur (`networks_stylegan.py:56-73,200-236`) — folded into the
+    # deconv kernel (exact, ops/conv.conv_transpose2d_blur) on the float
+    # path, applied sequentially on the int8 path (where the deconv itself
+    # runs s8 and a folded 6x6 kernel would change the quant calibration)
+    fold_blur: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -180,9 +187,15 @@ class Conv2DTransposeW(nn.Module):
         _sow_absmax(self, x)
         if self.has_variable("quant", "inv_in"):
             # conv_transpose2d's input-dilated formulation, in s8
-            return _quant_conv(self, x, (w * scale).astype(jnp.float32), b,
-                               padding=self.kernel_size - 1 - self.padding,
-                               lhs_dilation=self.stride)
+            out = _quant_conv(self, x, (w * scale).astype(jnp.float32), b,
+                              padding=self.kernel_size - 1 - self.padding,
+                              lhs_dilation=self.stride)
+            if self.fold_blur:
+                out = blur_3x3(out)
+            return out
+        if self.fold_blur:
+            assert b is None and (k, self.stride, self.padding) == (4, 2, 1)
+            return conv_transpose2d_blur(x, w * scale)
         return conv_transpose2d(x, (w * scale).astype(self.compute_dtype), b,
                                 stride=self.stride, padding=self.padding)
 

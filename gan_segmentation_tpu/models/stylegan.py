@@ -62,9 +62,16 @@ class StyleBlock(nn.Module):
         y = x
         if not first:
             if fused_upscale:
+                # fold_blur (default off — measured negative, BASELINE.md
+                # "Blur-fold"): the post-upscale [1,2,1] blur rides the
+                # deconv kernel (exact rewrite incl. border ring); param
+                # tree identical either way (Blur is parameterless)
                 y = Conv2DTransposeW(conv_size, use_wscale=cfg.use_wscale,
                                      compute_dtype=self.compute_dtype,
+                                     fold_blur=cfg.fold_blur,
                                      name="deconv_1")(y)
+                if not cfg.fold_blur:
+                    y = Blur(name="blur_1")(y)
             else:
                 # upsample_nearest_2x + conv3x3 composed into one
                 # input-dilated conv (exact; ops/conv.upsample2x_conv2d)
@@ -72,7 +79,7 @@ class StyleBlock(nn.Module):
                             use_wscale=cfg.use_wscale, up2x=True,
                             compute_dtype=self.compute_dtype,
                             name="conv_1")(y)
-            y = Blur(name="blur_1")(y)
+                y = Blur(name="blur_1")(y)
 
         y = AddNoise(fix_noise=cfg.fix_noise, name="noise_1")(y)
         y = Bias(name="bias_1")(y)

@@ -173,6 +173,103 @@ def upsample2x_conv2d(x, w, b=None, *, padding: int = 1):
     return out
 
 
+def conv_transpose2d_blur(x, w, *, filter_kernel=(1, 2, 1)):
+    """``blur_3x3(conv_transpose2d(x, w, stride=2, padding=1))`` as ONE
+    composed transposed conv plus a closed-form 1-pixel ring fix — exact.
+
+    The generator applies the [1,2,1] blur directly after every fused
+    upscale (`networks_stylegan.py:56-73,200-236`); both ops are linear
+    with nothing between them, and at b128 the blur alone moves ~16 GB of
+    HBM traffic per batch across the >=128px blocks. Naive kernel
+    composition is NOT exact (`upsample2x_conv2d` note): the blur
+    zero-pads the *cropped* deconv output, whose border ring is nonzero.
+    But the UNCROPPED (padding=0) transposed-conv output ``D_full`` of
+    size ``2H+2`` is the op's complete support — beyond it everything is
+    genuinely zero — and the reference's zero-padded intermediate is
+    exactly ``D_full`` with its outer frame zeroed. Hence::
+
+        blur(crop1(D_full))  ==  crop2(deconv(x, w (*) blur, s=2, p=2))
+                                 - blur(outer frame of D_full)
+
+    The frame contribution only touches the output's own 1-pixel ring,
+    and the frame rows/cols of ``D_full`` are single-kernel-row objects:
+    row 0 is a 1-D transposed conv of the FIRST input row with kernel row
+    ``w[3]`` (only tap row reaching it), row 2H+1 uses ``w[0]``, and the
+    columns use ``w[:, 3]`` / ``w[:, 0]``; the four corners are single
+    taps (``w[3,3]*x[0,0]`` etc.), double-counted by both their row and
+    column strip and added back once.
+
+    ``w``: (4, 4, Cin, Cout) in conv-equivalent orientation, as
+    `conv_transpose2d`. Exact up to float reassociation (tested vs the
+    sequential pair at 1e-5 in f32).
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (4, 4), "blur fold is specific to k4 s2 p1"
+    kf = np.asarray(filter_kernel, np.float32)
+    assert kf.shape == (3,), "3-tap separable blur only"
+    k2d = np.outer(kf, kf)
+    k2d = k2d / k2d.sum()                       # blur normalization
+    k1d = kf / kf.sum()                         # per-axis factor
+    corner_w = float(k2d[0, 0])                 # blur tap at distance (1,1)
+
+    # main term: composed 6x6 kernel (composed in f32 — it's kernel-sized),
+    # output = 2H x 2W (p=2 crop)
+    w6 = compose_kernel_2d(w.astype(jnp.float32),
+                           jnp.asarray(k2d, jnp.float32)).astype(x.dtype)
+    y = conv_transpose2d(x, w6, stride=2, padding=2)
+
+    def strip_w(row1d, kvec, axis):
+        # 1-D full-support transposed conv (stride 2, pad 0) of one input
+        # row/col with a single kernel row/col -> length 2L+2
+        if axis == "w":
+            kern = kvec[None, :, :, :]          # (1, 4, ci, co)
+            inp = row1d[:, None, :, :]          # (B, 1, L, ci)
+            pad = [(0, 0), (3, 3)]
+            dil = (1, 2)
+        else:
+            kern = kvec[:, None, :, :]
+            inp = row1d[:, :, None, :]
+            pad = [(3, 3), (0, 0)]
+            dil = (2, 1)
+        out = lax.conv_general_dilated(
+            inp, kern, (1, 1), pad, lhs_dilation=dil,
+            dimension_numbers=DIMENSION_NUMBERS,
+            preferred_element_type=jnp.float32
+            if x.dtype == jnp.float32 else None)
+        return out.reshape(out.shape[0], -1, cout)  # (B, 2L+2, co)
+
+    def corr3(strip):
+        # valid correlation with the normalized 1-D blur row, scaled by the
+        # perpendicular-axis tap at distance 1: weight k2d[0, :] overall
+        kk = jnp.asarray(k1d * float(k1d[0]), strip.dtype)
+        return (kk[0] * strip[:, :-2] + kk[1] * strip[:, 1:-1]
+                + kk[2] * strip[:, 2:])
+
+    wk = w.astype(y.dtype)
+    top = corr3(strip_w(x[:, 0], wk[3], "w"))           # (B, 2W, co)
+    bot = corr3(strip_w(x[:, -1], wk[0], "w"))
+    lef = corr3(strip_w(x[:, :, 0], wk[:, 3], "h"))     # (B, 2H, co)
+    rig = corr3(strip_w(x[:, :, -1], wk[:, 0], "h"))
+
+    y = y.at[:, 0, :, :].add(-top)
+    y = y.at[:, -1, :, :].add(-bot)
+    y = y.at[:, :, 0, :].add(-lef)
+    y = y.at[:, :, -1, :].add(-rig)
+
+    # corners: subtracted by BOTH their row and column strip -> add back once
+    def corner(px, kcorner):
+        return jnp.einsum("bi,io->bo", px.astype(y.dtype), kcorner) * corner_w
+
+    y = y.at[:, 0, 0, :].add(corner(x[:, 0, 0], wk[3, 3]))
+    y = y.at[:, 0, -1, :].add(corner(x[:, 0, -1], wk[3, 0]))
+    y = y.at[:, -1, 0, :].add(corner(x[:, -1, 0], wk[0, 3]))
+    y = y.at[:, -1, -1, :].add(corner(x[:, -1, -1], wk[0, 0]))
+    # no bias: blur(deconv(x)+b) != blur(deconv(x))+b at the border (the
+    # blur's zero padding attenuates constants) — and the generator's
+    # fused-upscale deconv is bias-free (bias rides the later Bias layer)
+    return y
+
+
 def conv_transpose2d(x, w, b=None, *, stride: int = 2, padding: int = 1):
     """Transposed conv matching mxnet ``Deconvolution(kernel=k, stride=s, pad=p)``.
 

@@ -252,3 +252,48 @@ class TestComposedUpConv:
         ident[0, 0] = 1.0
         got = compose_kernel_2d(w, ident)
         np.testing.assert_allclose(np.asarray(got), np.asarray(w), rtol=1e-6)
+
+
+class TestConvTransposeBlurFold:
+    """`conv_transpose2d_blur` == blur_3x3(conv_transpose2d(...)) exactly —
+    incl. the 1-pixel border ring the naive kernel composition gets wrong
+    (the blur zero-pads the CROPPED deconv output; the fold repairs the
+    ring with strip corrections from the input borders)."""
+
+    @pytest.mark.parametrize("shape", [(2, 5, 7, 3, 4), (1, 4, 4, 16, 8),
+                                       (3, 2, 3, 2, 2), (1, 1, 2, 3, 3)])
+    def test_matches_sequential_pair(self, rng, shape):
+        from gan_segmentation_tpu.ops.blur import blur_3x3
+        from gan_segmentation_tpu.ops.conv import conv_transpose2d_blur
+        b, h, w_, ci, co = shape
+        x = jnp.asarray(rng.randn(b, h, w_, ci).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, ci, co).astype(np.float32) * 0.3)
+        ref = blur_3x3(conv_transpose2d(x, w, stride=2, padding=1))
+        got = conv_transpose2d_blur(x, w)
+        assert got.shape == ref.shape == (b, 2 * h, 2 * w_, co)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_generator_fold_matches_sequential(self, rng):
+        """Full generator at 128px (first fused-upscale block): fold_blur
+        True/False share one param tree and produce identical outputs."""
+        from gan_segmentation_tpu.core.config import GanConfig
+        from gan_segmentation_tpu.models.stylegan import init_generator
+        import dataclasses
+        import jax
+
+        cfg = GanConfig(max_res_log2=7, dtype="f32", fold_blur=False)
+        model_seq, params = init_generator(cfg, seed=0)
+        model_fold = type(model_seq)(
+            dataclasses.replace(cfg, fold_blur=True), jnp.float32)
+        z = jax.random.normal(jax.random.PRNGKey(1), (2, 512))
+        noise = jax.random.PRNGKey(2)
+        rgb_a, feats_a = jax.jit(lambda p, z, r: model_seq.apply(
+            {"params": p}, z, rngs={"noise": r}))(params, z, noise)
+        rgb_b, feats_b = jax.jit(lambda p, z, r: model_fold.apply(
+            {"params": p}, z, rngs={"noise": r}))(params, z, noise)
+        np.testing.assert_allclose(np.asarray(rgb_a), np.asarray(rgb_b),
+                                   rtol=1e-4, atol=1e-4)
+        for fa, fb in zip(feats_a, feats_b):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=1e-4, atol=1e-4)

@@ -6,7 +6,9 @@ reference's production shape (crop 480, batch 8, SGD poly LR — see
 `01_hair.../main.py:80-116`) for both the f32 and bf16 (`--dtype`) paths,
 using the exact step the trainer builds (`train/deeplab_trainer.py:234-262`).
 
-Env: B (batch, default 8), CROP (default 480), DT (f32|bf16|both), ITERS.
+Env: B (batch, default 8), CROP (default 480), DT (f32|bf16|both), ITERS,
+REPEAT (timed windows on the same compiled step; >1 adds median/min/max —
+the repeated-capture protocol, same as ``bench.py --repeat``).
 Prints one JSON line per dtype.
 """
 import json
@@ -88,27 +90,38 @@ def measure(dtype_name):
                        / IMAGENET_STD)
             msk_np = msk_np.astype(np.int32)
         img, msk = jnp.asarray(imgs_np), jnp.asarray(msk_np)
-    losses = []
+    repeat = int(os.environ.get("REPEAT", 1))
     for i in range(2):  # warmup/compile
         params, bs, opt, loss = step(params, bs, opt, img, msk,
                                      jax.random.fold_in(rng, i))
         float(loss)
-    t0 = time.perf_counter()
-    for i in range(ITERS):
-        if h2d != "none":
-            # fresh host arrays each step: the upload is part of the loop
-            img = jnp.asarray(np.ascontiguousarray(imgs_np))
-            msk = jnp.asarray(np.ascontiguousarray(msk_np))
-        params, bs, opt, loss = step(params, bs, opt, img, msk,
-                                     jax.random.fold_in(rng, 10 + i))
-        losses.append(loss)
-    # D2H of a data-dependent scalar = the reliable completion barrier here
-    final = float(losses[-1])
-    dt = time.perf_counter() - t0
-    print(json.dumps({"dtype": dtype_name, "h2d": h2d, "crop": CROP, "batch": B,
-                      "images_per_sec": round(B * ITERS / dt, 2),
-                      "sec_per_step": round(dt / ITERS, 4),
-                      "final_loss": round(final, 4)}), flush=True)
+    rates, final = [], 0.0
+    for r in range(max(repeat, 1)):
+        losses = []
+        t0 = time.perf_counter()
+        for i in range(ITERS):
+            if h2d != "none":
+                # fresh host arrays each step: the upload is part of the loop
+                img = jnp.asarray(np.ascontiguousarray(imgs_np))
+                msk = jnp.asarray(np.ascontiguousarray(msk_np))
+            params, bs, opt, loss = step(params, bs, opt, img, msk,
+                                         jax.random.fold_in(rng, 10 + i))
+            losses.append(loss)
+        # D2H of a data-dependent scalar = the reliable completion barrier
+        final = float(losses[-1])
+        rates.append(B * ITERS / (time.perf_counter() - t0))
+    rates.sort()
+    med = rates[len(rates) // 2]
+    line = {"dtype": dtype_name, "h2d": h2d, "crop": CROP, "batch": B,
+            "images_per_sec": round(med, 2),
+            "sec_per_step": round(B / med, 4),
+            "final_loss": round(final, 4)}
+    if repeat > 1:
+        line["captures"] = {"repeat": repeat,
+                            "min": round(rates[0], 2),
+                            "max": round(rates[-1], 2),
+                            "all": [round(v, 2) for v in rates]}
+    print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":

@@ -32,6 +32,10 @@ def main(argv=None):
     ap.add_argument("--res", type=int, default=1024)
     ap.add_argument("--base-size", type=int, default=512)
     ap.add_argument("--crop-size", type=int, default=480)
+    ap.add_argument("--repeat", type=int, default=1,
+                    help="timed windows per batch size on the same compiled "
+                         "program; >1 reports median + min/max (the "
+                         "repeated-capture protocol, as bench.py --repeat)")
     a = ap.parse_args(argv)
 
     from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
@@ -58,16 +62,26 @@ def main(argv=None):
         n = (a.images // b) * b
         # warm: compile the (b, H, W, C) program
         float(reduce_scores(ev.device_scores_batch(imgs[:b])))
-        t0 = time.perf_counter()
-        sums = []
-        for s in range(0, n, b):
-            sums.append(reduce_scores(ev.device_scores_batch(imgs[s:s + b])))
-        for x in sums:
-            float(x)
-        dt = time.perf_counter() - t0
-        rec = {"batch": b, "images": n, "img_per_sec": round(n / dt, 3),
+        rates = []
+        for _ in range(max(a.repeat, 1)):
+            t0 = time.perf_counter()
+            sums = []
+            for s in range(0, n, b):
+                sums.append(
+                    reduce_scores(ev.device_scores_batch(imgs[s:s + b])))
+            for x in sums:
+                float(x)
+            rates.append(n / (time.perf_counter() - t0))
+        rates.sort()
+        rec = {"batch": b, "images": n,
+               "img_per_sec": round(rates[len(rates) // 2], 3),
                "res": a.res, "flip": True, "base": a.base_size,
                "crop": a.crop_size}
+        if a.repeat > 1:
+            rec["captures"] = {"repeat": a.repeat,
+                               "min": round(rates[0], 3),
+                               "max": round(rates[-1], 3),
+                               "all": [round(v, 3) for v in rates]}
         print(json.dumps(rec), flush=True)
         results.append(rec)
     return results
