@@ -347,6 +347,89 @@ def _emit_error(metric, reason, unit="samples/sec/chip", retries=None):
     print(json.dumps(out), flush=True)
 
 
+def _set_watchdog_arg(argv, seconds):
+    """Return ``argv`` with its ``--watchdog`` value replaced (or appended)."""
+    out, i = [], 0
+    replaced = False
+    while i < len(argv):
+        a = argv[i]
+        if a == "--watchdog":
+            out += [a, str(seconds)]
+            i += 2 if i + 1 < len(argv) else 1
+            replaced = True
+            continue
+        if a.startswith("--watchdog="):
+            out.append(f"--watchdog={seconds}")
+            replaced = True
+        else:
+            out.append(a)
+        i += 1
+    if not replaced:
+        out += ["--watchdog", str(seconds)]
+    return out
+
+
+def _supervise(metric, unit, deadline, watchdog):
+    """Retry whole measurement ATTEMPTS (killable subprocesses) until one
+    succeeds or the watchdog budget is spent.
+
+    The round-3 postmortem hardened the *preflight* (a wedge before the run
+    burns retry time, not the round) — but the axon tunnel can also wedge
+    MID-measurement, after the probe passed (observed r4: probe OK, then the
+    in-process jit dispatch hung forever). An in-process attempt cannot be
+    killed (the hung D2H is uninterruptible), so the supervisor gives each
+    attempt a SLICE of the budget in a subprocess it can kill, and keeps
+    attempting while budget remains. The inner attempt (marked by
+    GAN_SEG_BENCH_ATTEMPT=1) runs the existing preflight+measure+watchdog
+    path with ``--watchdog <slice>``; its success line is forwarded
+    verbatim. Warm persistent jit caches make retry attempts cheap."""
+    slice_budget = int(os.environ.get("GAN_SEG_BENCH_SLICE", "600"))
+    backoff = float(os.environ.get("GAN_SEG_BENCH_RETRY_BACKOFF", "60"))
+    attempts = 0
+    last_err = None
+    while True:
+        remaining = deadline - time.monotonic()
+        if remaining <= 90:  # no room for compile + one timed window
+            break
+        if attempts:  # give a transient wedge time to clear between attempts
+            time.sleep(min(backoff, max(remaining - 90, 0)))
+        attempts += 1
+        inner_wd = int(min(remaining - 15, slice_budget))
+        argv = ([sys.executable, os.path.abspath(sys.argv[0])]
+                + _set_watchdog_arg(sys.argv[1:], inner_wd))
+        env = dict(os.environ)
+        env["GAN_SEG_BENCH_ATTEMPT"] = "1"
+        print(f"# supervisor: attempt {attempts} (watchdog {inner_wd}s, "
+              f"{remaining:.0f}s of budget left)", file=sys.stderr, flush=True)
+        try:
+            r = subprocess.run(argv, env=env, timeout=inner_wd + 60,
+                               capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempts} killed after {inner_wd + 60}s"
+            print(f"# supervisor: {last_err}", file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(r.stderr or "")
+        lines = [ln for ln in (r.stdout or "").splitlines()
+                 if ln.startswith("{")]
+        result = None
+        if lines:
+            try:
+                result = json.loads(lines[-1])
+            except ValueError:
+                result = None
+        if r.returncode == 0 and result and result.get("value", 0) > 0:
+            print(lines[-1], flush=True)
+            return
+        last_err = (result.get("error") if result and result.get("error")
+                    else f"exit code {r.returncode}")
+        print(f"# supervisor: attempt {attempts} failed ({last_err})",
+              file=sys.stderr, flush=True)
+    _emit_error(metric,
+                f"watchdog: no successful capture in {watchdog}s "
+                f"({attempts} measurement attempt(s); last: {last_err})",
+                unit)
+
+
 def preflight(metric, timeout=150, unit="samples/sec/chip",
               deadline=None, backoff=75):
     """Probe the device from a killable subprocess before building anything
@@ -488,6 +571,11 @@ def main():
     # measurement watchdog: a transient tunnel wedge burns retry time, not
     # the round (VERDICT r3 #1)
     deadline = (time.monotonic() + args.watchdog) if args.watchdog else None
+    if deadline is not None and not os.environ.get("GAN_SEG_BENCH_ATTEMPT"):
+        # top-level run: supervise killable measurement attempts instead of
+        # betting the whole budget on one in-process run (a mid-measurement
+        # tunnel wedge is unkillable in-process)
+        return _supervise(metric, unit, deadline, args.watchdog)
     if not preflight(metric, unit=unit, deadline=deadline):
         return
     t = None

@@ -84,6 +84,96 @@ def test_emit_error_survives_corrupt_sidecar(monkeypatch, capsys, tmp_path):
     assert bench._read_last_good("m")["value"] == 1.5
 
 
+def test_set_watchdog_arg():
+    f = bench._set_watchdog_arg
+    assert f(["--batch", "8"], 300) == ["--batch", "8", "--watchdog", "300"]
+    assert f(["--watchdog", "1800"], 300) == ["--watchdog", "300"]
+    assert f(["--watchdog=1800", "--iters", "2"], 300) == [
+        "--watchdog=300", "--iters", "2"]
+    assert f(["-q", "--watchdog", "5", "-x"], 9) == [
+        "-q", "--watchdog", "9", "-x"]
+
+
+class _FakeRun:
+    """Scripted subprocess.run stand-in for the supervisor loop."""
+
+    def __init__(self, outcomes):
+        self.outcomes = list(outcomes)
+        self.calls = []
+
+    def __call__(self, argv, **kw):
+        self.calls.append((argv, kw))
+        # repeat the last outcome when exhausted (the budget-spent test
+        # loops on wall-clock, not on a fixed call count)
+        out = (self.outcomes.pop(0) if len(self.outcomes) > 1
+               else self.outcomes[0])
+        if out == "timeout":
+            raise subprocess.TimeoutExpired(argv, kw.get("timeout"))
+        code, stdout = out
+        return subprocess.CompletedProcess(argv, code, stdout=stdout,
+                                           stderr="")
+
+
+def _supervise_with(monkeypatch, outcomes, budget, argv=None):
+    fake = _FakeRun(outcomes)
+    monkeypatch.setattr(bench.subprocess, "run", fake)
+    monkeypatch.setattr(sys, "argv", ["bench.py"] + (argv or []))
+    monkeypatch.setenv("GAN_SEG_BENCH_RETRY_BACKOFF", "0.01")
+    bench._supervise("m", "u", time.monotonic() + budget, budget)
+    return fake
+
+
+def test_supervisor_forwards_success_line(monkeypatch, capsys):
+    """A successful inner attempt's JSON line is forwarded verbatim and the
+    inner argv got the sliced watchdog + attempt marker."""
+    ok = json.dumps({"metric": "m", "value": 123.4, "unit": "u",
+                     "vs_baseline": 2.0})
+    fake = _supervise_with(monkeypatch, [(0, "# noise\n" + ok + "\n")],
+                           budget=1800, argv=["--batch", "4"])
+    out = capsys.readouterr().out.strip()
+    assert json.loads(out)["value"] == 123.4
+    argv, kw = fake.calls[0]
+    assert "--watchdog" in argv and "--batch" in argv
+    wd = int(argv[argv.index("--watchdog") + 1])
+    assert 0 < wd <= 600  # sliced, not the whole 1800s budget
+    assert kw["env"]["GAN_SEG_BENCH_ATTEMPT"] == "1"
+
+
+def test_supervisor_retries_until_success(monkeypatch, capsys):
+    """A mid-run wedge (timeout), a zero-value error line, and a crash are
+    each retried; the eventual success is the only stdout JSON."""
+    err = json.dumps({"metric": "m", "value": 0.0, "unit": "u",
+                      "error": "watchdog: no result"})
+    ok = json.dumps({"metric": "m", "value": 55.5, "unit": "u",
+                     "vs_baseline": None})
+    fake = _supervise_with(
+        monkeypatch, ["timeout", (0, err + "\n"), (1, ""), (0, ok + "\n")],
+        budget=1800)
+    assert len(fake.calls) == 4
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert [json.loads(x)["value"] for x in lines if x.startswith("{")] == \
+        [55.5]
+
+
+def test_supervisor_spent_budget_emits_error(monkeypatch, capsys, tmp_path):
+    """When every attempt fails, the terminal error JSON counts attempts,
+    quotes the last failure, and carries last-good context."""
+    side = str(tmp_path / "lg.json")
+    monkeypatch.setattr(bench, "_LAST_GOOD", side)
+    bench._write_last_good("m", 440.2, "u")
+    err = json.dumps({"metric": "m", "value": 0.0, "unit": "u",
+                      "error": "device unresponsive after 3 probe(s)"})
+    # budget 92s: one attempt fits (remaining 92 > 90), then remaining
+    # drops under the floor and the loop gives up
+    fake = _supervise_with(monkeypatch, [(0, err + "\n")], budget=92)
+    assert len(fake.calls) >= 1
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.0
+    assert "measurement attempt(s)" in out["error"]
+    assert "device unresponsive" in out["error"]
+    assert out["last_good"]["value"] == 440.2
+
+
 @pytest.mark.slow
 def test_bench_cli_repeat_on_cpu(tmp_path):
     """Full CLI path at tiny res on the CPU backend: --repeat 2 emits the
