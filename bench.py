@@ -266,10 +266,13 @@ def measure(batch: int, iters: int, max_res_log2: int = 10,
 
 
 def measure_latency(batch: int, iters: int, max_res_log2: int = 10,
-                    warmup: int = 3, quant: str = None) -> float:
+                    warmup: int = 3, quant: str = None, repeat: int = 1):
     """Median end-to-end z -> (image, mask) latency in ms at ``batch``
     (default CLI use: batch 1 — the annotator-preview / online-serving
-    shape, one sample fully synchronized per request).
+    shape, one sample fully synchronized per request). Returns a list of
+    ``repeat`` medians, each from its own window of ``iters`` requests —
+    all windows run the SAME compiled program (the ``--repeat`` protocol:
+    spread isolates environment variance, not rebuild variance).
 
     Unlike ``measure`` (which pipelines batches like the production writer
     loop), every iteration here launches ONE program and waits for its
@@ -285,19 +288,46 @@ def measure_latency(batch: int, iters: int, max_res_log2: int = 10,
                 + jnp.sum(mask.astype(jnp.int32)))
 
     rng = jax.random.PRNGKey(0)
-    times = []
-    for i in range(warmup + iters):
-        z = jax.random.normal(jax.random.fold_in(rng, i), (batch, 512))
-        t0 = time.perf_counter()
-        int(fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + i)))
-        dt = time.perf_counter() - t0
-        if i >= warmup:
-            times.append(dt)
-    times.sort()
-    return 1000.0 * times[len(times) // 2]
+    medians = []
+    for r in range(max(repeat, 1)):
+        times = []
+        for i in range(warmup + iters):
+            k = r * (warmup + iters) + i
+            z = jax.random.normal(jax.random.fold_in(rng, k), (batch, 512))
+            t0 = time.perf_counter()
+            int(fused_sum(gp, dp, z, jax.random.fold_in(rng, 1000 + k)))
+            dt = time.perf_counter() - t0
+            if i >= warmup:
+                times.append(dt)
+        times.sort()
+        medians.append(1000.0 * times[len(times) // 2])
+    return medians
 
 
-_PROBE = ("import jax, jax.numpy as jnp; "
+def median_and_captures(values):
+    """The ``--repeat`` reporting protocol, shared by every bench surface
+    (bench.py, tools/bench_deeplab_train.py, tools/bench_multiscale_eval.py):
+    median (upper on even N) plus, for N > 1, a ``captures`` block with
+    min/max/all so headline numbers carry their spread."""
+    values = sorted(values)
+    value = values[len(values) // 2]
+    captures = None
+    if len(values) > 1:
+        captures = {"repeat": len(values),
+                    "min": round(values[0], 3),
+                    "max": round(values[-1], 3),
+                    "all": [round(v, 3) for v in values]}
+    return value, captures
+
+
+# the probe must target the SAME backend the measurement will use: the
+# axon sitecustomize force-registers the TPU over JAX_PLATFORMS, so a
+# CPU-pinned run (the suite's CLI smoke) replicates main()'s config-API
+# override — otherwise a wedged tunnel fails the probe for a CPU run that
+# would have worked
+_PROBE = ("import os, jax, jax.numpy as jnp; "
+          "p = os.environ.get('JAX_PLATFORMS'); "
+          "p and jax.config.update('jax_platforms', p); "
           "assert float(jax.jit(lambda a: jnp.sum(a*a))(jnp.ones((8,8))))"
           " == 64.0")
 
@@ -386,15 +416,18 @@ def _supervise(metric, unit, deadline, watchdog):
     slice_budget = int(os.environ.get("GAN_SEG_BENCH_SLICE", "600"))
     backoff = float(os.environ.get("GAN_SEG_BENCH_RETRY_BACKOFF", "60"))
     attempts = 0
+    crashes = 0  # consecutive no-JSON nonzero exits = deterministic bug
     last_err = None
     while True:
         remaining = deadline - time.monotonic()
-        if remaining <= 90:  # no room for compile + one timed window
+        # always take at least ONE shot — a small-but-valid --watchdog
+        # (e.g. 60s on the CPU backend) must measure, not insta-fail
+        if attempts and remaining <= 90:  # no room for another window
             break
         if attempts:  # give a transient wedge time to clear between attempts
             time.sleep(min(backoff, max(remaining - 90, 0)))
         attempts += 1
-        inner_wd = int(min(remaining - 15, slice_budget))
+        inner_wd = max(int(min(remaining - 15, slice_budget)), 30)
         argv = ([sys.executable, os.path.abspath(sys.argv[0])]
                 + _set_watchdog_arg(sys.argv[1:], inner_wd))
         env = dict(os.environ)
@@ -405,6 +438,7 @@ def _supervise(metric, unit, deadline, watchdog):
             r = subprocess.run(argv, env=env, timeout=inner_wd + 60,
                                capture_output=True, text=True)
         except subprocess.TimeoutExpired:
+            crashes = 0  # a kill is a wedge, not a deterministic bug
             last_err = f"attempt {attempts} killed after {inner_wd + 60}s"
             print(f"# supervisor: {last_err}", file=sys.stderr, flush=True)
             continue
@@ -419,15 +453,31 @@ def _supervise(metric, unit, deadline, watchdog):
                 result = None
         if r.returncode == 0 and result and result.get("value", 0) > 0:
             print(lines[-1], flush=True)
-            return
-        last_err = (result.get("error") if result and result.get("error")
-                    else f"exit code {r.returncode}")
+            return True
+        if result is None and r.returncode != 0:
+            # crashed before emitting any JSON: a Python exception, not a
+            # wedge. One retry tolerates a flaky import/compile; a second
+            # identical crash is deterministic — stop grinding the budget
+            # and surface the traceback instead of masking it for 30 min
+            crashes += 1
+            tail = (r.stderr or "").strip().splitlines()[-1:] or ["?"]
+            last_err = f"exit code {r.returncode}: {tail[-1]}"
+            if crashes >= 2:
+                print(f"# supervisor: attempt {attempts} crashed again — "
+                      "deterministic failure, giving up early",
+                      file=sys.stderr, flush=True)
+                break
+        else:
+            crashes = 0
+            last_err = (result.get("error") if result and result.get("error")
+                        else f"exit code {r.returncode}")
         print(f"# supervisor: attempt {attempts} failed ({last_err})",
               file=sys.stderr, flush=True)
     _emit_error(metric,
                 f"watchdog: no successful capture in {watchdog}s "
                 f"({attempts} measurement attempt(s); last: {last_err})",
                 unit)
+    return False
 
 
 def preflight(metric, timeout=150, unit="samples/sec/chip",
@@ -574,10 +624,11 @@ def main():
     if deadline is not None and not os.environ.get("GAN_SEG_BENCH_ATTEMPT"):
         # top-level run: supervise killable measurement attempts instead of
         # betting the whole budget on one in-process run (a mid-measurement
-        # tunnel wedge is unkillable in-process)
-        return _supervise(metric, unit, deadline, args.watchdog)
+        # tunnel wedge is unkillable in-process). Exit 3 on terminal failure
+        # so `bench.py || alert` automation sees a wedged round
+        return 0 if _supervise(metric, unit, deadline, args.watchdog) else 3
     if not preflight(metric, unit=unit, deadline=deadline):
-        return
+        return 3
     t = None
     if deadline is not None:
         def _expire():
@@ -589,11 +640,10 @@ def main():
         t.start()
 
     quant = None if args.quant == "none" else args.quant
-    captures = None
     if args.latency:
-        values = [measure_latency(args.batch, max(args.iters, 5),
-                                  args.max_res_log2, quant=quant)
-                  for _ in range(max(args.repeat, 1))]
+        values = measure_latency(args.batch, max(args.iters, 5),
+                                 args.max_res_log2, quant=quant,
+                                 repeat=max(args.repeat, 1))
     else:
         rates, n_chips = measure(args.batch, args.iters, args.max_res_log2,
                                  spatial=args.spatial, serving=args.serving,
@@ -602,13 +652,7 @@ def main():
                                  fold_blur=args.fold_blur == "on")
         # whole-mesh -> per chip (n_chips=1 unmeshed)
         values = [v / n_chips for v in rates]
-    values.sort()
-    value = values[len(values) // 2]  # median (upper on even N)
-    if args.repeat > 1:
-        captures = {"repeat": len(values),
-                    "min": round(values[0], 3),
-                    "max": round(values[-1], 3),
-                    "all": [round(v, 3) for v in values]}
+    value, captures = median_and_captures(values)
     if t is not None:
         t.cancel()  # a near-deadline success must not race the error line
     _write_last_good(metric, value, unit)
@@ -637,4 +681,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -211,8 +211,18 @@ def save_annotation_sample(db_dir: str, index: int, img_rgb: np.ndarray,
     (num_classes > 2 collections are read with ``preprocess_mask=False``,
     `seg_datasets.py:85-106` applying only to the binary protocol)."""
     cv2.imwrite(join(db_dir, f"img_{index:06d}.jpg"), img_rgb[:, :, ::-1])
-    mask_u8 = (np.asarray(trimap).astype(np.uint8) if raw_mask
-               else gray_from_trimap(trimap))
+    if raw_mask:
+        trimap = np.asarray(trimap)
+        if trimap.min() < 0:
+            # astype(uint8) would wrap ignore labels (-1) to class 255 and
+            # they would silently survive into training targets; the raw
+            # multi-class protocol has no ignore encoding on disk
+            raise ValueError("raw_mask=True cannot encode negative labels "
+                             f"(got min {int(trimap.min())}); ignore bands "
+                             "are a binary-trimap concept")
+        mask_u8 = trimap.astype(np.uint8)
+    else:
+        mask_u8 = gray_from_trimap(trimap)
     cv2.imwrite(join(db_dir, f"mask_{index:06d}.png"), mask_u8)
     chw = [np.ascontiguousarray(np.transpose(f, (2, 0, 1)), np.float32)
            for f in features]

@@ -207,6 +207,11 @@ def conv_transpose2d_blur(x, w, *, filter_kernel=(1, 2, 1)):
     assert (kh, kw) == (4, 4), "blur fold is specific to k4 s2 p1"
     kf = np.asarray(filter_kernel, np.float32)
     assert kf.shape == (3,), "3-tap separable blur only"
+    # the ring repair below scales the near AND far strips by k1d[0] and
+    # all four corners by k2d[0, 0] — valid only for a symmetric kernel
+    # (an asymmetric one needs k1d[2] on the bottom/right strips and a
+    # per-corner k2d tap); refuse rather than return silently wrong borders
+    assert kf[0] == kf[2], "blur fold requires a symmetric filter_kernel"
     k2d = np.outer(kf, kf)
     k2d = k2d / k2d.sum()                       # blur normalization
     k1d = kf / kf.sum()                         # per-axis factor

@@ -27,13 +27,14 @@ def test_preflight_retries_until_deadline(monkeypatch, capsys):
     the terminal error JSON records the retry count."""
     monkeypatch.setattr(bench, "_PROBE", "import sys; sys.exit(1)")
     t0 = time.monotonic()
-    ok = bench.preflight("m", timeout=5, deadline=t0 + 3.0, backoff=0.2)
+    ok = bench.preflight("m", timeout=5, deadline=t0 + 8.0, backoff=0.2)
     assert not ok
     assert time.monotonic() - t0 >= 0.5  # actually slept between probes
     out = json.loads(capsys.readouterr().out.strip())
     assert out["value"] == 0.0
     # >=2 proves the loop retried (python subprocess startup is ~1.3 s on
-    # this 1-core host, so a 3 s budget fits only a couple of probes)
+    # this 1-core host — an 8 s budget fits several probes even when a
+    # background pytest run is hogging the core)
     assert out["preflight_retries"] >= 2
     assert "probe(s)" in out["error"]
 
@@ -119,7 +120,8 @@ def _supervise_with(monkeypatch, outcomes, budget, argv=None):
     monkeypatch.setattr(bench.subprocess, "run", fake)
     monkeypatch.setattr(sys, "argv", ["bench.py"] + (argv or []))
     monkeypatch.setenv("GAN_SEG_BENCH_RETRY_BACKOFF", "0.01")
-    bench._supervise("m", "u", time.monotonic() + budget, budget)
+    ok = bench._supervise("m", "u", time.monotonic() + budget, budget)
+    fake.ok = ok
     return fake
 
 
@@ -167,11 +169,81 @@ def test_supervisor_spent_budget_emits_error(monkeypatch, capsys, tmp_path):
     # drops under the floor and the loop gives up
     fake = _supervise_with(monkeypatch, [(0, err + "\n")], budget=92)
     assert len(fake.calls) >= 1
+    assert fake.ok is False  # main() turns this into exit code 3
     out = json.loads(capsys.readouterr().out.strip())
     assert out["value"] == 0.0
     assert "measurement attempt(s)" in out["error"]
     assert "device unresponsive" in out["error"]
     assert out["last_good"]["value"] == 440.2
+
+
+def test_supervisor_success_returns_true(monkeypatch, capsys):
+    ok = json.dumps({"metric": "m", "value": 1.0, "unit": "u",
+                     "vs_baseline": None})
+    fake = _supervise_with(monkeypatch, [(0, ok + "\n")], budget=1800)
+    assert fake.ok is True
+    capsys.readouterr()
+
+
+def test_supervisor_small_watchdog_still_attempts(monkeypatch, capsys):
+    """A --watchdog at or under the 90s retry floor must still take ONE
+    measurement shot (the CPU-backend smoke ran fine at 60s before the
+    supervisor existed) instead of insta-failing with zero attempts."""
+    ok = json.dumps({"metric": "m", "value": 7.5, "unit": "u",
+                     "vs_baseline": None})
+    fake = _supervise_with(monkeypatch, [(0, ok + "\n")], budget=60)
+    assert len(fake.calls) == 1
+    assert fake.ok is True
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 7.5
+    # the inner watchdog never goes degenerate, even on a tiny budget
+    argv, _ = fake.calls[0]
+    assert int(argv[argv.index("--watchdog") + 1]) >= 30
+
+
+def test_supervisor_bails_on_repeated_crash(monkeypatch, capsys):
+    """Two consecutive no-JSON nonzero exits = a deterministic bug (e.g. a
+    ValueError from an invalid flag combo): stop immediately and surface
+    the stderr tail instead of grinding the whole 30-min budget on
+    identical crashes."""
+    fake = _FakeRun([(1, "")])
+    fake.outcomes = [(1, "")]  # every attempt crashes identically
+    monkeypatch.setattr(bench.subprocess, "run", fake)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setenv("GAN_SEG_BENCH_RETRY_BACKOFF", "0.01")
+    t0 = time.monotonic()
+    ok = bench._supervise("m", "u", t0 + 1800, 1800)
+    assert ok is False
+    assert len(fake.calls) == 2  # one retry tolerated, then give up
+    assert time.monotonic() - t0 < 60  # did NOT burn the budget
+    out = json.loads(capsys.readouterr().out.strip())
+    assert "exit code 1" in out["error"]
+
+
+def test_median_and_captures_protocol():
+    """One shared implementation of the --repeat reporting protocol
+    (bench.py + the two standalone bench tools import it)."""
+    v, cap = bench.median_and_captures([5.0])
+    assert v == 5.0 and cap is None
+    v, cap = bench.median_and_captures([3.0, 1.0, 2.0])
+    assert v == 2.0
+    assert cap == {"repeat": 3, "min": 1.0, "max": 3.0,
+                   "all": [1.0, 2.0, 3.0]}
+    # even N: upper median, matching the documented protocol
+    v, _ = bench.median_and_captures([4.0, 1.0])
+    assert v == 4.0
+
+
+def test_probe_pins_requested_platform():
+    """The preflight probe must target the backend the measurement will
+    use: with JAX_PLATFORMS=cpu the probe succeeds even when the axon
+    tunnel is wedged (the sitecustomize force-registers the TPU over the
+    env var, so the probe replicates main()'s config-API override)."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run([sys.executable, "-c", bench._PROBE], env=env,
+                       timeout=120, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-2000:]
 
 
 @pytest.mark.slow

@@ -83,6 +83,25 @@ def test_collection_multiclass_read_and_not_ignore(tmp_path):
                                   np.isin(mask, [1, 3]))
 
 
+def test_raw_mask_save_rejects_negative_labels(tmp_path):
+    """`save_annotation_sample(raw_mask=True)` must refuse ignore labels:
+    astype(uint8) would wrap -1 to class 255, which preprocess_mask=False
+    reads back as a VALID label that silently overflows num_classes. The
+    binary protocol encodes -1 explicitly via the gray trimap; the raw
+    multi-class protocol has no on-disk ignore encoding."""
+    import pytest
+    from gan_segmentation_tpu.data.collection import save_annotation_sample
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    bad = np.zeros((8, 8), np.int32)
+    bad[:2, :] = -1  # the ignore-band convention of the binary fixtures
+    with pytest.raises(ValueError, match="negative"):
+        save_annotation_sample(str(tmp_path), 0, img, bad, [], raw_mask=True)
+    # non-negative labels still write fine
+    save_annotation_sample(str(tmp_path), 0, img, np.abs(bad), [],
+                           raw_mask=True)
+
+
 def test_cli_multiclass3_train_evaluate_generate(tmp_path, monkeypatch,
                                                  capsys):
     """hair_with_skin (3-class) through the real CLI: config-driven

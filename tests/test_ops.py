@@ -274,6 +274,17 @@ class TestConvTransposeBlurFold:
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_rejects_asymmetric_kernel(self, rng):
+        """The ring repair hardcodes the symmetric-kernel identities
+        (near/far strips both scaled by k1d[0], one corner tap for all
+        four); an asymmetric filter_kernel must refuse loudly rather than
+        return a silently wrong border ring."""
+        from gan_segmentation_tpu.ops.conv import conv_transpose2d_blur
+        x = jnp.asarray(rng.randn(1, 3, 3, 2).astype(np.float32))
+        w = jnp.asarray(rng.randn(4, 4, 2, 2).astype(np.float32))
+        with pytest.raises(AssertionError, match="symmetric"):
+            conv_transpose2d_blur(x, w, filter_kernel=(1, 3, 2))
+
     def test_generator_fold_matches_sequential(self, rng):
         """Full generator at 128px (first fused-upscale block): fold_blur
         True/False share one param tree and produce identical outputs."""

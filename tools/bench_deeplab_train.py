@@ -110,17 +110,14 @@ def measure(dtype_name):
         # D2H of a data-dependent scalar = the reliable completion barrier
         final = float(losses[-1])
         rates.append(B * ITERS / (time.perf_counter() - t0))
-    rates.sort()
-    med = rates[len(rates) // 2]
+    from bench import median_and_captures
+    med, captures = median_and_captures(rates)
     line = {"dtype": dtype_name, "h2d": h2d, "crop": CROP, "batch": B,
             "images_per_sec": round(med, 2),
             "sec_per_step": round(B / med, 4),
             "final_loss": round(final, 4)}
-    if repeat > 1:
-        line["captures"] = {"repeat": repeat,
-                            "min": round(rates[0], 2),
-                            "max": round(rates[-1], 2),
-                            "all": [round(v, 2) for v in rates]}
+    if captures:
+        line["captures"] = captures
     print(json.dumps(line), flush=True)
 
 

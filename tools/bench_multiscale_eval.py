@@ -72,16 +72,14 @@ def main(argv=None):
             for x in sums:
                 float(x)
             rates.append(n / (time.perf_counter() - t0))
-        rates.sort()
+        from bench import median_and_captures
+        med, captures = median_and_captures(rates)
         rec = {"batch": b, "images": n,
-               "img_per_sec": round(rates[len(rates) // 2], 3),
+               "img_per_sec": round(med, 3),
                "res": a.res, "flip": True, "base": a.base_size,
                "crop": a.crop_size}
-        if a.repeat > 1:
-            rec["captures"] = {"repeat": a.repeat,
-                               "min": round(rates[0], 3),
-                               "max": round(rates[-1], 3),
-                               "all": [round(v, 3) for v in rates]}
+        if captures:
+            rec["captures"] = captures
         print(json.dumps(rec), flush=True)
         results.append(rec)
     return results
