@@ -88,12 +88,62 @@ def conv2d_s8(x, w, *, stride=1, padding=0, lhs_dilation=None):
 
     ``lhs_dilation`` covers the generator's input-dilated forms (the
     composed nearest-2x conv and the k4s2p1 deconv) — inserted zeros are
-    exact in int8."""
+    exact in int8.
+
+    Two formulations, both EXACT (integer accumulation is associative, so
+    they agree bit-for-bit; asserted in tests/test_s2d_quant.py):
+
+    - ``conv``: ``lax.conv_general_dilated`` with s32 accumulation — the
+      natural form for backends with a native int8 conv emitter.
+    - ``im2col``: explicit patch extraction + one s8 x s8 -> s32
+      ``dot_general``. **Default on every backend**: neither XLA CPU nor
+      XLA TPU has a fast int8 conv emitter — measured per 3x3 conv, CPU
+      0.32 s -> 0.0065 s (~50x, 16x16x128ch) and the real v5e 0.578 s ->
+      0.027 s (~21x, b4 32x32x256ch, bit-equal) for conv -> im2col. The
+      round-3 "int8 loses to bf16" verdict was measured through the conv
+      form; see BASELINE.md for the im2col re-measure. Override with
+      ``GAN_SEG_INT8_CONV=conv|im2col`` to (re)measure a backend.
+    """
+    import os
+
+    form = os.environ.get("GAN_SEG_INT8_CONV", "im2col")
+    if form == "im2col" and not isinstance(_padding(padding), str):
+        return _conv2d_s8_im2col(x, w, stride=stride, padding=padding,
+                                 lhs_dilation=lhs_dilation)
     return lax.conv_general_dilated(
         x, w, _pair(stride), _padding(padding),
         lhs_dilation=None if lhs_dilation is None else _pair(lhs_dilation),
         dimension_numbers=DIMENSION_NUMBERS,
         preferred_element_type=jnp.int32)
+
+
+def _conv2d_s8_im2col(x, w, *, stride=1, padding=0, lhs_dilation=None):
+    """Exact int8 conv as patch-gather + integer GEMM (see conv2d_s8)."""
+    sh, sw = _pair(stride)
+    pads = _padding(padding)  # [(top, bottom), (left, right)]
+    if lhs_dilation is not None:
+        dh, dw = _pair(lhs_dilation)
+        if (dh, dw) != (1, 1):
+            n, h, wd, c = x.shape
+            xd = jnp.zeros((n, h * dh - (dh - 1), wd * dw - (dw - 1), c),
+                           x.dtype)
+            x = xd.at[:, ::dh, ::dw, :].set(x)
+    x = jnp.pad(x, ((0, 0), tuple(pads[0]), tuple(pads[1]), (0, 0)))
+    n, h, wd, c = x.shape
+    kh, kw, ci, co = w.shape
+    assert c == ci, (c, ci)
+    ho = (h - kh) // sh + 1
+    wo = (wd - kw) // sw + 1
+    # kh*kw shifted strided views; concat order (i, j, c) row-major matches
+    # the HWIO kernel reshape below
+    cols = [lax.slice(x, (0, i, j, 0),
+                      (n, i + (ho - 1) * sh + 1, j + (wo - 1) * sw + 1, c),
+                      (1, sh, sw, 1))
+            for i in range(kh) for j in range(kw)]
+    patches = jnp.concatenate(cols, axis=-1)  # (n, ho, wo, kh*kw*c)
+    wmat = w.reshape(kh * kw * ci, co)
+    return lax.dot_general(patches, wmat, (((3,), (0,)), ((), ())),
+                           preferred_element_type=jnp.int32)
 
 
 def collect_calibration(dec, prepared: Dict, inputs: List[jnp.ndarray],

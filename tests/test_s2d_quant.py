@@ -52,6 +52,28 @@ def test_conv2d_s8_exact_integer():
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("case", [
+    dict(stride=1, padding=1),                      # the 3x3 conv form
+    dict(stride=2, padding=1),                      # strided
+    dict(stride=1, padding=1, lhs_dilation=2),      # composed nearest-2x
+    dict(stride=1, padding=((1, 2), (1, 2)), lhs_dilation=2),  # k4s2p1 deconv pads
+])
+def test_conv2d_s8_im2col_matches_conv(case, monkeypatch):
+    """The two conv2d_s8 formulations (ops/quant.py) are bit-identical:
+    integer accumulation is exact, so im2col patch-GEMM == XLA conv for
+    every form the generator/decoder int8 paths use."""
+    rs = np.random.RandomState(7)
+    k = 4 if case.get("lhs_dilation") and case["padding"] != 1 else 3
+    x = jnp.asarray(rs.randint(-127, 128, (2, 6, 6, 5)), jnp.int8)
+    w = jnp.asarray(rs.randint(-127, 128, (k, k, 5, 3)), jnp.int8)
+    outs = {}
+    for form in ("conv", "im2col"):
+        monkeypatch.setenv("GAN_SEG_INT8_CONV", form)
+        outs[form] = np.asarray(conv2d_s8(x, w, **case))
+    assert outs["conv"].dtype == np.int32
+    np.testing.assert_array_equal(outs["conv"], outs["im2col"])
+
+
 def test_quantize_act_saturates():
     x = jnp.asarray([-3.0, -1.0, 0.0, 0.5, 2.0], jnp.float32)
     q = quantize_act(x, jnp.float32(127.0))  # scale 1/127: absmax was 1.0
