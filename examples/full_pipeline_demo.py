@@ -43,6 +43,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat demo runs deserialize their compiles
     from pathlib import Path
 
     from gan_segmentation_tpu.core.config import SolverConfig

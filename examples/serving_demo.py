@@ -40,6 +40,8 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
+    enable_persistent_cache()  # repeat demo runs deserialize their compiles
 
     sys.path.insert(0, join(dirname(__file__), "..", "tests"))
     from util_fixtures import make_annotation_dir

@@ -27,6 +27,8 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
+enable_persistent_cache()  # share the suite's on-disk compile cache
 
 
 def main():

@@ -29,6 +29,8 @@ def main():
     import jax
 
     jax.config.update("jax_platforms", "cpu")  # axon sitecustomize override
+    from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
+    enable_persistent_cache()  # share the suite's on-disk compile cache
     assert len(jax.devices()) == 1, jax.devices()
 
     from gan_segmentation_tpu.core.export import load_artifact, load_bundle

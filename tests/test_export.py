@@ -136,19 +136,24 @@ class TestFusedPipelineExport:
         ops/quant.py) exports through the BUNDLE form: int8 kernels and
         scales ride params.msgpack, the ~50 generator activation scales are
         closed-over constants, and the roundtrip reproduces the live
-        quantized program exactly."""
+        quantized program exactly.
+
+        Batch 4 on purpose: it makes the live ``pipe._fused`` program
+        byte-identical to test_quant_int8_full_pipeline's, so the two
+        tests share ONE ~5.5-minute XLA CPU int8-conv compile through the
+        persistent cache instead of paying it twice per cold suite run."""
         from gan_segmentation_tpu.core.export import (
             export_fused_pipeline_bundle, load_bundle)
         from gan_segmentation_tpu.train.generator import (FusedPipeline,
                                                           ImageGenerator)
         pipe_f, _, _ = pipeline  # reuse the fixture's trained solver
-        gen = ImageGenerator(gan="bedrooms", batch_size=2, dtype="fp32",
+        gen = ImageGenerator(gan="bedrooms", batch_size=4, dtype="fp32",
                              max_res_log2=5, gan_dir="/nonexistent")
         pipe = FusedPipeline(gen, pipe_f.solver, quant="int8-full")
         d = str(tmp_path / "gen_int8.bundle")
-        export_fused_pipeline_bundle(pipe, 2, d)
+        export_fused_pipeline_bundle(pipe, 4, d)
         serve = load_bundle(d)
-        z = jax.random.normal(jax.random.PRNGKey(5), (2, 512), jnp.float32)
+        z = jax.random.normal(jax.random.PRNGKey(5), (4, 512), jnp.float32)
         key = jax.random.PRNGKey(9)
         live_imgs, live_masks = pipe._fused(pipe._gen_params,
                                             pipe._prepared(), z, key)

@@ -24,21 +24,26 @@ def test_bench_multiscale_eval_smoke():
 
 @pytest.mark.slow
 def test_retune_quick_sweep(capsys):
+    """--quick smokes the sweep harness: both s2d tail depths, the s2d-off
+    baseline, and the int8 quant config (4 programs at res 32). int8-full
+    is excluded from --quick on purpose — its XLA CPU compile costs minutes
+    and is already exercised by test_quant_int8_full_pipeline + the export
+    bundle roundtrip; the full sweep (no --quick) still includes it."""
     import retune
 
     results = retune.main(["--quick"])
     ok = [r for r in results if r["ok"]]
-    # both s2d depths, both batches, the s2d-off baselines, and the int8 +
-    # int8-full quant configs (ops/quant.py)
-    assert len(results) == 10 and len(ok) == 10, results
+    assert len(results) == 4 and len(ok) == 4, results
     assert all(r["samples_per_sec"] > 0 for r in ok)
-    assert sum(r["quant"] == "int8" for r in results) == 2
-    assert sum(r["quant"] == "int8-full" for r in results) == 2
+    assert sorted(r["n_block_stages"] for r in results
+                  if r["s2d"] and not r["quant"]) == [2, 3]
+    assert sum(not r["s2d"] for r in results) == 1
+    assert sum(r["quant"] == "int8" for r in results) == 1
     out = capsys.readouterr().out
     assert "samples/sec/chip" in out and "| batch |" in out
     # every emitted line before the table is valid JSON
     import json
     json_lines = [l for l in out.splitlines() if l.startswith("{")]
-    assert len(json_lines) == 10
+    assert len(json_lines) == 4
     for l in json_lines:
         json.loads(l)

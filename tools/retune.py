@@ -9,7 +9,7 @@ the fused z->(image,mask) pipeline and emits both JSON lines and the
 BASELINE.md table block, so re-tuning is one command.
 
     python tools/retune.py                     # full sweep at 1024^2
-    python tools/retune.py --quick             # miniature sweep at res 64
+    python tools/retune.py --quick             # miniature smoke sweep (res 32)
     python tools/retune.py --batches 32,64,128 --tails 2,3,4 --iters 4
 
 Each configuration that fails to compile (e.g. the remote compile helper's
@@ -25,20 +25,19 @@ sys.path.insert(0, join(dirname(__file__), ".."))
 
 
 def sweep(batches, tails, max_res_log2, iters, include_no_s2d=True,
-          include_quant=True, out=sys.stdout):
+          quant_kinds=("int8", "int8-full"), out=sys.stdout):
     from bench import measure
 
     results = []
     configs = [(b, t, True, None) for b in batches for t in tails]
     if include_no_s2d:
         configs += [(b, 0, False, None) for b in batches]
-    if include_quant:
+    if quant_kinds:
         # int8 decoder tail and full (generator too) int8 (ops/quant.py) at
         # the default tail depth: lets first contact with real silicon
         # answer whether its int8 conv emitter beats bf16 (2x nominal on
         # the MXU) in one sweep
-        configs += [(b, 3, True, q) for b in batches
-                    for q in ("int8", "int8-full")]
+        configs += [(b, 3, True, q) for b in batches for q in quant_kinds]
     for batch, tail, s2d, quant in configs:
         rec = {"batch": batch, "s2d": s2d,
                "n_block_stages": tail if s2d else None,
@@ -96,17 +95,26 @@ def main(argv=None):
     ap.add_argument("--no-quant", action="store_true",
                     help="skip the int8-decoder configs")
     ap.add_argument("--quick", action="store_true",
-                    help="miniature sweep (res 64, batches 2,4, tails 2,3)")
+                    help="miniature smoke sweep (res 32, batch 4)")
     a = ap.parse_args(argv)
     if a.quick:
-        batches, tails, res, iters = [2, 4], [2, 3], 6, 2
+        # Smoke the sweep HARNESS, not the configs: one batch, both tail
+        # depths, the s2d-off baseline, and the int8 quant config — 4
+        # distinct programs at res 32. int8-full is deliberately absent
+        # from --quick: its fused program costs MINUTES of XLA CPU compile
+        # (int8 conv codegen, measured ~5.5 min at res 32 on this host) and
+        # its correctness is covered by test_quant_int8_full_pipeline and
+        # the export bundle roundtrip; the full sweep (no --quick) keeps it.
+        batches, tails, res, iters = [4], [2, 3], 5, 1
+        quant_kinds = ("int8",)
     else:
         batches = [int(b) for b in a.batches.split(",")]
         tails = [int(t) for t in a.tails.split(",")]
         res, iters = a.max_res_log2, a.iters
+        quant_kinds = () if a.no_quant else ("int8", "int8-full")
     results = sweep(batches, tails, res, iters,
                     include_no_s2d=not a.no_s2d_off,
-                    include_quant=not a.no_quant)
+                    quant_kinds=quant_kinds if not a.no_quant else ())
     print()
     print(baseline_table(results))
     return results
