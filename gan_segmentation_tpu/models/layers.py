@@ -45,17 +45,14 @@ def _quant_conv(mdl: nn.Module, x, k_eff, b, *, stride=1, padding=0,
     """The int8 branch shared by the wscale convs: quantize the input
     against the calibrated scale, the effective kernel at trace time, run
     s8xs8->s32, dequantize in f32, bias, cast back."""
-    from ..ops.quant import conv2d_s8, quantize_act, quantize_weight
+    from ..ops.quant import conv2d_s8_fused, quantize_weight
 
     inv = mdl.get_variable("quant", "inv_in")
-    xq = quantize_act(x, inv)
     wq, wscale = quantize_weight(k_eff)
-    y = conv2d_s8(xq, wq, stride=stride, padding=padding,
-                  lhs_dilation=lhs_dilation).astype(jnp.float32)
-    y = y * (wscale / inv)
-    if b is not None:
-        y = y + b.astype(jnp.float32)
-    return y.astype(x.dtype)
+    return conv2d_s8_fused(
+        x, inv, wq, wscale / inv,
+        None if b is None else b.astype(jnp.float32),
+        stride=stride, padding=padding, lhs_dilation=lhs_dilation)
 
 
 class DenseW(nn.Module):

@@ -146,6 +146,72 @@ def _conv2d_s8_im2col(x, w, *, stride=1, padding=0, lhs_dilation=None):
                            preferred_element_type=jnp.int32)
 
 
+def _im2col_patch_mib(xshape, wshape, stride, padding, lhs_dilation):
+    """MiB of the im2col patches tensor for the FULL batch (0.0 when the
+    padding form routes to the conv emitter instead)."""
+    pads = _padding(padding)
+    if isinstance(pads, str):
+        return 0.0
+    n, h, wd, _ = xshape
+    kh, kw, ci, _ = wshape
+    sh, sw = _pair(stride)
+    if lhs_dilation is not None:
+        dh, dw = _pair(lhs_dilation)
+        h, wd = h * dh - (dh - 1), wd * dw - (dw - 1)
+    h += pads[0][0] + pads[0][1]
+    wd += pads[1][0] + pads[1][1]
+    ho = (h - kh) // sh + 1
+    wo = (wd - kw) // sw + 1
+    return n * ho * wo * kh * kw * ci / 2**20
+
+
+def conv2d_s8_fused(x, inv_in, wq, deq, bias, *, stride=1, padding=0,
+                    lhs_dilation=None):
+    """quantize -> s8 x s8 -> s32 conv -> dequantize -> bias, cast back to
+    ``x.dtype`` — the whole int8 conv body every int8 call site runs.
+
+    Why one fused entry point: the im2col patches tensor is kh*kw times
+    the activation, and at pipeline batch sizes it exceeds HBM outright
+    (s8[128,512,512,576] = 19.3 GiB at the 512-res stage of the b128
+    @1024^2 bench — over the chip's 16 GiB). Chunking must wrap the WHOLE
+    quantize->GEMM->dequantize body (not just the GEMM): a chunked s32
+    output that only later dequantizes would re-materialize at full batch.
+    Here, when the full-batch patches exceed ``GAN_SEG_INT8_CHUNK_MB``
+    (default 2048), the batch runs through `lax.map` in the largest
+    divisor-sized chunks under the cap, each chunk emitting the
+    compute-dtype activation the float path would — peak extra memory is
+    one chunk's patches + one chunk's s32 accumulator. The integer conv is
+    exact across chunkings (batch grouping only); the f32 dequant epilogue
+    may differ by ~1 ulp where the compiled map body contracts
+    ``y * deq + bias`` into an FMA (asserted in tests/test_s2d_quant.py).
+    Mosaic compiles loop bodies at full conv quality (see BASELINE.md
+    scan_epochs). ``deq`` is the f32 per-out-channel dequant multiplier
+    (s_w * s_in); ``bias`` f32 or None."""
+    import os
+
+    def body(xc):
+        xq = quantize_act(xc, inv_in)
+        y = conv2d_s8(xq, wq, stride=stride, padding=padding,
+                      lhs_dilation=lhs_dilation).astype(jnp.float32)
+        y = y * deq
+        if bias is not None:
+            y = y + bias
+        return y.astype(x.dtype)
+
+    form = os.environ.get("GAN_SEG_INT8_CONV", "im2col")
+    cap = float(os.environ.get("GAN_SEG_INT8_CHUNK_MB", 2048))
+    n = x.shape[0]
+    mib = _im2col_patch_mib(x.shape, wq.shape, stride, padding, lhs_dilation)
+    if form != "im2col" or mib <= cap or n == 1:
+        return body(x)
+    per = mib / n
+    chunk = max([c for c in range(1, n + 1)
+                 if n % c == 0 and per * c <= cap] or [1])
+    xr = x.reshape((n // chunk, chunk) + x.shape[1:])
+    y = lax.map(body, xr)
+    return y.reshape((n,) + y.shape[2:])
+
+
 def collect_calibration(dec, prepared: Dict, inputs: List[jnp.ndarray],
                         n_block_stages: int = 3) -> Dict[str, jnp.ndarray]:
     """absmax of every conv input over ONE batch: ``{"<stage>.<kkey>": f32}``.
@@ -220,10 +286,8 @@ def prepare_s2d_int8(dec, variables: Dict,
 
 
 def _int8_hook(stage, st, x, kkey, bkey, **kw):
-    xq = quantize_act(x, st[kkey + "_inv"])
-    y = conv2d_s8(xq, st[kkey], **kw).astype(jnp.float32)
-    y = y * st[kkey + "_deq"] + st[bkey]
-    return y.astype(x.dtype)
+    return conv2d_s8_fused(x, st[kkey + "_inv"], st[kkey],
+                           st[kkey + "_deq"], st[bkey], **kw)
 
 
 def apply_s2d_int8(dec, qprepared: Dict, inputs: List[jnp.ndarray],

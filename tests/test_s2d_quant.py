@@ -74,6 +74,57 @@ def test_conv2d_s8_im2col_matches_conv(case, monkeypatch):
     np.testing.assert_array_equal(outs["conv"], outs["im2col"])
 
 
+@pytest.mark.parametrize("cap,case", [
+    ("0.0001", dict(stride=1, padding=1)),            # chunk=1 fallback
+    ("0.004", dict(stride=1, padding=1)),             # mid divisor chunk
+    ("0.0001", dict(stride=1, padding=((1, 2), (1, 2)), lhs_dilation=2)),
+])
+def test_conv2d_s8_fused_chunked_bit_exact(cap, case, monkeypatch):
+    """conv2d_s8_fused (ops/quant.py): the lax.map batch-chunked form the
+    big pipeline layers take (a full-batch im2col patches tensor exceeds
+    HBM at bench shapes — s8[128,512,512,576] = 19.3 GiB at the 512-res
+    stage of the b128 @1024^2 run) matches the unchunked body: the integer
+    conv is exact (only batch grouping differs); the f32 dequant epilogue
+    may differ by ~1 ulp where the compiled map body contracts
+    ``y * deq + bias`` into an FMA and the eager path does not."""
+    from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
+
+    rs = np.random.RandomState(3)
+    k = 4 if case.get("lhs_dilation") else 3
+    x = jnp.asarray(rs.randn(6, 6, 6, 5), jnp.float32)
+    w = jnp.asarray(rs.randint(-127, 128, (k, k, 5, 3)), jnp.int8)
+    deq = jnp.asarray(rs.rand(3) * 1e-2, jnp.float32)
+    bias = jnp.asarray(rs.randn(3), jnp.float32)
+    inv = jnp.float32(127.0 / float(jnp.max(jnp.abs(x))))
+
+    monkeypatch.delenv("GAN_SEG_INT8_CHUNK_MB", raising=False)
+    ref = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, **case))
+    monkeypatch.setenv("GAN_SEG_INT8_CHUNK_MB", cap)
+    got = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, **case))
+    np.testing.assert_allclose(ref, got, rtol=1e-6, atol=1e-3)
+
+
+def test_apply_s2d_int8_chunked_matches_unchunked(monkeypatch):
+    """Forcing the chunked int8 conv body through the REAL decoder walk
+    (every site: cvt/k0/k1/ksc/kf) reproduces the default path to f32
+    epilogue rounding (FMA contraction, see the fused-op test) with
+    identical argmax masks."""
+    cfg = SolverConfig(max_res_log2=5)
+    dec = decoder_from_config(cfg)
+    feats = _pyramids(cfg, 21, batch=4)
+    v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(0), f, False))(feats)
+    q = prepare_s2d_int8(dec, v, [_pyramids(cfg, 51)], 2)
+
+    monkeypatch.delenv("GAN_SEG_INT8_CHUNK_MB", raising=False)
+    ref = np.asarray(jax.jit(lambda p, f: apply_s2d_int8(
+        dec, p, f, 2, fine_logits=True))(q, feats))
+    monkeypatch.setenv("GAN_SEG_INT8_CHUNK_MB", "0.01")
+    got = np.asarray(jax.jit(lambda p, f: apply_s2d_int8(
+        dec, p, f, 2, fine_logits=True))(q, feats))
+    np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-3)
+    np.testing.assert_array_equal(ref.argmax(-1), got.argmax(-1))
+
+
 def test_quantize_act_saturates():
     x = jnp.asarray([-3.0, -1.0, 0.0, 0.5, 2.0], jnp.float32)
     q = quantize_act(x, jnp.float32(127.0))  # scale 1/127: absmax was 1.0
