@@ -377,6 +377,15 @@ def _emit_error(metric, reason, unit="samples/sec/chip", retries=None):
     print(json.dumps(out), flush=True)
 
 
+def _default_watchdog():
+    """Default ``--watchdog``: 1650 s, deliberately BELOW the driver's
+    1800 s external kill budget (round 4's default of exactly 1800 left the
+    supervisor zero margin to print the terminal JSON before the external
+    kill landed — BENCH_r04 was rc=124/parsed=null while the code measured
+    ~440). Env-overridable via GAN_SEG_BENCH_WATCHDOG."""
+    return int(os.environ.get("GAN_SEG_BENCH_WATCHDOG", "1650"))
+
+
 def _set_watchdog_arg(argv, seconds):
     """Return ``argv`` with its ``--watchdog`` value replaced (or appended)."""
     out, i = [], 0
@@ -399,6 +408,14 @@ def _set_watchdog_arg(argv, seconds):
     return out
 
 
+# seconds the supervisor reserves at the END of its budget for printing the
+# terminal error JSON: no subprocess may still be running inside this margin.
+# The round-4 scoreboard was zeroed exactly here — the last attempt's
+# subprocess timeout (then `inner_wd + 60`) overran the deadline, so the
+# DRIVER's kill landed before `_emit_error` could print a parseable line.
+_EMIT_MARGIN = 30
+
+
 def _supervise(metric, unit, deadline, watchdog):
     """Retry whole measurement ATTEMPTS (killable subprocesses) until one
     succeeds or the watchdog budget is spent.
@@ -412,7 +429,14 @@ def _supervise(metric, unit, deadline, watchdog):
     attempting while budget remains. The inner attempt (marked by
     GAN_SEG_BENCH_ATTEMPT=1) runs the existing preflight+measure+watchdog
     path with ``--watchdog <slice>``; its success line is forwarded
-    verbatim. Warm persistent jit caches make retry attempts cheap."""
+    verbatim. Warm persistent jit caches make retry attempts cheap.
+
+    Deadline invariant (the round-4 postmortem): every subprocess timeout is
+    capped at ``remaining - _EMIT_MARGIN`` — computed AFTER the backoff
+    sleep — so the terminal JSON always prints before ``deadline``, which is
+    itself ``--watchdog`` (default 1650 s, below the driver's 1800 s kill)
+    after start. A hard external kill can therefore never land while the
+    supervisor still owes the scoreboard its one JSON line."""
     slice_budget = int(os.environ.get("GAN_SEG_BENCH_SLICE", "600"))
     backoff = float(os.environ.get("GAN_SEG_BENCH_RETRY_BACKOFF", "60"))
     attempts = 0
@@ -426,20 +450,26 @@ def _supervise(metric, unit, deadline, watchdog):
             break
         if attempts:  # give a transient wedge time to clear between attempts
             time.sleep(min(backoff, max(remaining - 90, 0)))
+            remaining = deadline - time.monotonic()  # the sleep burnt budget
         attempts += 1
-        inner_wd = max(int(min(remaining - 15, slice_budget)), 30)
+        inner_wd = max(int(min(remaining - _EMIT_MARGIN - 15, slice_budget)),
+                       30)
+        # the child gets inner_wd to finish PLUS grace to emit its own error
+        # line — but never past the supervisor's emit margin
+        kill_after = max(min(inner_wd + 60, remaining - _EMIT_MARGIN), 5)
         argv = ([sys.executable, os.path.abspath(sys.argv[0])]
                 + _set_watchdog_arg(sys.argv[1:], inner_wd))
         env = dict(os.environ)
         env["GAN_SEG_BENCH_ATTEMPT"] = "1"
         print(f"# supervisor: attempt {attempts} (watchdog {inner_wd}s, "
-              f"{remaining:.0f}s of budget left)", file=sys.stderr, flush=True)
+              f"kill {kill_after:.0f}s, {remaining:.0f}s of budget left)",
+              file=sys.stderr, flush=True)
         try:
-            r = subprocess.run(argv, env=env, timeout=inner_wd + 60,
+            r = subprocess.run(argv, env=env, timeout=kill_after,
                                capture_output=True, text=True)
         except subprocess.TimeoutExpired:
             crashes = 0  # a kill is a wedge, not a deterministic bug
-            last_err = f"attempt {attempts} killed after {inner_wd + 60}s"
+            last_err = f"attempt {attempts} killed after {kill_after:.0f}s"
             print(f"# supervisor: {last_err}", file=sys.stderr, flush=True)
             continue
         sys.stderr.write(r.stderr or "")
@@ -574,10 +604,13 @@ def main():
              "--batch (use --batch 1 for the interactive/annotator shape); "
              "dispatch overhead is included, as a real request pays it")
     ap.add_argument(
-        "--watchdog", type=int, default=1800, metavar="SEC",
+        "--watchdog", type=int, default=_default_watchdog(), metavar="SEC",
         help="hard deadline: emit an error JSON line and exit if the "
              "measurement has not completed (0 disables); a wedged device "
-             "preflight retries with backoff inside this same budget")
+             "preflight retries with backoff inside this same budget. "
+             "Default 1650 (env GAN_SEG_BENCH_WATCHDOG) — deliberately "
+             "below the driver's 1800 s external kill so the terminal JSON "
+             "always prints first")
     ap.add_argument(
         "--fold-blur", choices=("on", "off"), default="off",
         help="fold the generator's post-upscale [1,2,1] blur into the "

@@ -220,6 +220,70 @@ def test_supervisor_bails_on_repeated_crash(monkeypatch, capsys):
     assert "exit code 1" in out["error"]
 
 
+class _FakeTime:
+    """Deterministic clock for the deadline-arithmetic test: ``sleep``
+    advances ``monotonic`` instantly, so the straddle scenario runs in
+    microseconds of real time."""
+
+    def __init__(self, start=1000.0):
+        self.now = start
+        self.strftime = time.strftime  # passthrough (sidecar timestamps)
+
+    def monotonic(self):
+        return self.now
+
+    def sleep(self, s):
+        self.now += s
+
+
+def test_supervisor_kill_never_crosses_emit_margin(monkeypatch, capsys,
+                                                   tmp_path):
+    """Round-4 regression (BENCH_r04 rc=124/parsed=null): the last attempt's
+    subprocess window used to be sized ``inner_wd + 60`` — up to ~45 s PAST
+    the deadline — so the driver's external kill landed while the supervisor
+    still owed its terminal JSON. Pin the invariant: with every attempt
+    wedging (consuming its whole kill window), no subprocess timeout ever
+    extends past ``deadline - _EMIT_MARGIN``, and the error JSON prints
+    strictly before the deadline."""
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "lg.json"))
+    ft = _FakeTime()
+    monkeypatch.setattr(bench, "time", ft)
+    calls = []
+
+    def fake_run(argv, **kw):
+        calls.append((ft.monotonic(), kw["timeout"]))
+        ft.sleep(kw["timeout"])  # the wedge eats the whole window
+        raise subprocess.TimeoutExpired(argv, kw["timeout"])
+
+    monkeypatch.setattr(bench.subprocess, "run", fake_run)
+    monkeypatch.setattr(sys, "argv", ["bench.py"])
+    monkeypatch.setenv("GAN_SEG_BENCH_RETRY_BACKOFF", "60")
+    budget = 1650  # the new default, below the driver's 1800 s kill
+    deadline = ft.monotonic() + budget
+    ok = bench._supervise("m", "u", deadline, budget)
+    assert ok is False
+    assert len(calls) >= 2  # kept retrying inside the budget
+    for t0, timeout in calls:
+        assert t0 + timeout <= deadline - bench._EMIT_MARGIN + 1e-6
+    # the terminal error line printed BEFORE the deadline (which is itself
+    # 150 s inside the driver's 1800 s budget at the default watchdog)
+    assert ft.monotonic() < deadline
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 0.0
+    assert "measurement attempt(s)" in out["error"]
+
+
+def test_default_watchdog_below_driver_budget(monkeypatch):
+    """The default --watchdog must sit BELOW the driver's 1800 s kill (the
+    round-4 default of exactly 1800 left zero emit margin), and stay
+    env-overridable."""
+    monkeypatch.delenv("GAN_SEG_BENCH_WATCHDOG", raising=False)
+    assert bench._default_watchdog() == 1650
+    assert bench._default_watchdog() + bench._EMIT_MARGIN < 1800
+    monkeypatch.setenv("GAN_SEG_BENCH_WATCHDOG", "900")
+    assert bench._default_watchdog() == 900
+
+
 def test_median_and_captures_protocol():
     """One shared implementation of the --repeat reporting protocol
     (bench.py + the two standalone bench tools import it)."""
