@@ -71,9 +71,13 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     # data-parallel mesh (space=1) keeps the s2d path — batch sharding
     # never crosses the per-sample H x W re-tiling (same rule as
     # FusedPipeline)
-    from gan_segmentation_tpu.core.mesh import SPACE_AXIS
+    from gan_segmentation_tpu.core.mesh import DATA_AXIS, SPACE_AXIS
     spatial = (mesh is not None and SPACE_AXIS in mesh.axis_names
                and mesh.shape[SPACE_AXIS] > 1)
+    # dp extent of the batch axis: int8 chunking sizes its per-DEVICE
+    # working set from this and never reshapes a sharded batch axis
+    dp_shards = (mesh.shape[DATA_AXIS]
+                 if mesh is not None and DATA_AXIS in mesh.axis_names else 1)
     if spatial:
         s2d = False  # block re-tiling fights the H-shard; standard tail
     if quant not in (None, "int8", "int8-full"):
@@ -126,7 +130,8 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
             from gan_segmentation_tpu.core.mesh import constrain_spatial
             feats = constrain_spatial(feats, mesh)
         if quant in ("int8", "int8-full"):
-            logits = apply_s2d_int8(dec, dp, feats, n_block_stages)
+            logits = apply_s2d_int8(dec, dp, feats, n_block_stages,
+                                    batch_shards=dp_shards)
             mask = class_mask_s2d(logits, scfg.num_classes)
         elif s2d:
             # space-to-depth tail: the narrow high-res convs run in block
@@ -710,6 +715,13 @@ def main():
     }
     if captures:
         out["captures"] = captures
+    if quant:
+        # attribution: the conv formulation + chunk cap are process-level
+        # config frozen at import (ops/quant.py `_read_once`) — record what
+        # this measurement actually ran so numbers are comparable later
+        from gan_segmentation_tpu.ops.quant import INT8_CHUNK_MB, INT8_FORM
+        out["int8_form"] = INT8_FORM
+        out["int8_chunk_mb"] = INT8_CHUNK_MB
     print(json.dumps(out))
 
 

@@ -79,7 +79,8 @@ def load_artifact(path: str):
 
 def save_bundle(dir_path: str, fn, params, example_args: Sequence,
                 platforms: Optional[Sequence[str]] = None,
-                params_sharding=None, args_shardings=None):
+                params_sharding=None, args_shardings=None,
+                meta: Optional[dict] = None):
     """Export ``fn(params, *args)`` as a program+weights BUNDLE directory.
 
     The hermetic single-file form (`save_artifact`) bakes weights into the
@@ -99,7 +100,15 @@ def save_bundle(dir_path: str, fn, params, example_args: Sequence,
     per example arg, e.g. batch over ``data``) to export an SPMD program —
     the artifact records the mesh size and must be served on that many
     devices (`load_bundle(..., params_sharding=...)` places the weights).
+
+    ``meta``: caller-supplied attribution dict, merged over the recorded
+    process quant config in ``<dir>/meta.json``. The int8 conv form and
+    chunk cap are process-level config frozen at import (ops/quant.py
+    `_read_once`) and BAKED into any int8 program traced here — recording
+    them makes a bundle's lineage auditable (ADVICE r4). Read back with
+    :func:`load_bundle_meta`.
     """
+    import json
     import os
 
     from flax import serialization
@@ -128,9 +137,29 @@ def save_bundle(dir_path: str, fn, params, example_args: Sequence,
         fh.write(exported.serialize())
     with open(os.path.join(dir_path, "params.msgpack"), "wb") as fh:
         fh.write(serialization.to_bytes([np.asarray(x) for x in leaves]))
+    from ..ops.quant import INT8_CHUNK_MB, INT8_FORM
+    record = {"int8_form": INT8_FORM, "int8_chunk_mb": INT8_CHUNK_MB,
+              "n_weights": len(leaves),
+              "platforms": list(exported.platforms)}
+    record.update(meta or {})
+    with open(os.path.join(dir_path, "meta.json"), "w") as fh:
+        json.dump(record, fh, indent=1)
     log.info("serialized bundle %s (%d weight arrays, platforms=%s)",
              dir_path, len(leaves), exported.platforms)
     return exported
+
+
+def load_bundle_meta(dir_path: str) -> dict:
+    """The attribution record `save_bundle` wrote (empty for bundles from
+    before meta.json existed)."""
+    import json
+    import os
+
+    try:
+        with open(os.path.join(dir_path, "meta.json")) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {}
 
 
 def read_bundle(dir_path: str, params_sharding=None):

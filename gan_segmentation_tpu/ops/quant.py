@@ -29,6 +29,8 @@ agreement and logit error, `tests/test_s2d_quant.py`); validate quality on
 trained weights with `tools/parity_dryrun.py` when real checkpoints exist.
 """
 
+import os
+import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -45,6 +47,40 @@ _SITES: Tuple[Tuple[str, str], ...] = (
     ("kf", "bf"),
 )
 _EPS = 1e-12
+
+_VALID_FORMS = ("im2col", "conv")
+
+
+def _read_once(name, default, cast):
+    """Process-level config, read ONCE at import: a jitted callable traced
+    with one value never re-reads the env (jit caches key on function
+    identity + arg shapes, not env), so a mid-process env flip would
+    silently rerun the stale program (ADVICE r4, medium). A/B two variants
+    in one process by passing the explicit kwargs below (with fresh jit
+    closures per variant); across processes the env works as before — and
+    that is what `bench.py --quant` measurement attempts are."""
+    v = cast(os.environ.get(name, default))
+    if name == "GAN_SEG_INT8_CONV" and v not in _VALID_FORMS:
+        # a typo must fail loudly, never silently route to the conv
+        # emitter measured 21-50x slower than im2col
+        raise ValueError(f"{name} must be one of {_VALID_FORMS}, got {v!r}")
+    return v
+
+
+#: int8 conv formulation ("im2col" default / "conv"), frozen at import from
+#: GAN_SEG_INT8_CONV; per-call override via the ``form`` kwargs.
+INT8_FORM: str = _read_once("GAN_SEG_INT8_CONV", "im2col", str)
+#: full-batch im2col working-set cap in MiB (chunk via lax.map above it),
+#: frozen at import from GAN_SEG_INT8_CHUNK_MB; override via ``chunk_mb``.
+INT8_CHUNK_MB: float = _read_once("GAN_SEG_INT8_CHUNK_MB", "2048", float)
+
+
+def _resolve_form(form: Optional[str]) -> str:
+    if form is None:
+        return INT8_FORM
+    if form not in _VALID_FORMS:
+        raise ValueError(f"form must be one of {_VALID_FORMS}, got {form!r}")
+    return form
 
 
 def calibration_batches(latent_size: int, batch: int = 4,
@@ -83,7 +119,7 @@ def quantize_act(x, inv_scale) -> jnp.ndarray:
     return jnp.clip(q, -127, 127).astype(jnp.int8)
 
 
-def conv2d_s8(x, w, *, stride=1, padding=0, lhs_dilation=None):
+def conv2d_s8(x, w, *, stride=1, padding=0, lhs_dilation=None, form=None):
     """s8 x s8 -> s32 convolution (NHWC/HWIO), exact integer accumulation.
 
     ``lhs_dilation`` covers the generator's input-dilated forms (the
@@ -101,12 +137,15 @@ def conv2d_s8(x, w, *, stride=1, padding=0, lhs_dilation=None):
       0.32 s -> 0.0065 s (~50x, 16x16x128ch) and the real v5e 0.578 s ->
       0.027 s (~21x, b4 32x32x256ch, bit-equal) for conv -> im2col. The
       round-3 "int8 loses to bf16" verdict was measured through the conv
-      form; see BASELINE.md for the im2col re-measure. Override with
-      ``GAN_SEG_INT8_CONV=conv|im2col`` to (re)measure a backend.
-    """
-    import os
+      form; see BASELINE.md for the im2col re-measure.
 
-    form = os.environ.get("GAN_SEG_INT8_CONV", "im2col")
+    ``form``: explicit "conv"/"im2col" (unknown values raise); ``None``
+    uses :data:`INT8_FORM` (the GAN_SEG_INT8_CONV env, read once at
+    import — see ``_read_once``). NOTE: string paddings ("SAME"/"VALID")
+    always take the conv-emitter branch even when form="im2col" — im2col
+    needs explicit pad counts; no pipeline call site passes strings.
+    """
+    form = _resolve_form(form)
     if form == "im2col" and not isinstance(_padding(padding), str):
         return _conv2d_s8_im2col(x, w, stride=stride, padding=padding,
                                  lhs_dilation=lhs_dilation)
@@ -146,27 +185,38 @@ def _conv2d_s8_im2col(x, w, *, stride=1, padding=0, lhs_dilation=None):
                            preferred_element_type=jnp.int32)
 
 
-def _im2col_patch_mib(xshape, wshape, stride, padding, lhs_dilation):
-    """MiB of the im2col patches tensor for the FULL batch (0.0 when the
-    padding form routes to the conv emitter instead)."""
+def _im2col_chunk_mib(xshape, wshape, stride, padding, lhs_dilation):
+    """MiB of the im2col working set for the FULL batch (0.0 when the
+    padding form routes to the conv emitter instead): the s8 patches
+    tensor PLUS the s32 accumulator output (4 bytes/element — comparable
+    to the patches for 3x3 kernels) plus, for dilated forms, the
+    zero-inserted padded input copy. Counting only the patches (the
+    pre-round-5 estimate) admitted a real peak several times the cap
+    (ADVICE r4)."""
     pads = _padding(padding)
     if isinstance(pads, str):
         return 0.0
     n, h, wd, _ = xshape
-    kh, kw, ci, _ = wshape
+    kh, kw, ci, co = wshape
     sh, sw = _pair(stride)
+    dilated = 0
     if lhs_dilation is not None:
         dh, dw = _pair(lhs_dilation)
         h, wd = h * dh - (dh - 1), wd * dw - (dw - 1)
+        if (dh, dw) != (1, 1):
+            dilated = n * h * wd * ci  # the explicit zero-inserted s8 copy
     h += pads[0][0] + pads[0][1]
     wd += pads[1][0] + pads[1][1]
     ho = (h - kh) // sh + 1
     wo = (wd - kw) // sw + 1
-    return n * ho * wo * kh * kw * ci / 2**20
+    patches = n * ho * wo * kh * kw * ci       # s8, 1 byte/element
+    out_s32 = n * ho * wo * co * 4             # the accumulator
+    return (patches + out_s32 + dilated) / 2**20
 
 
 def conv2d_s8_fused(x, inv_in, wq, deq, bias, *, stride=1, padding=0,
-                    lhs_dilation=None):
+                    lhs_dilation=None, form=None, chunk_mb=None,
+                    batch_shards=1):
     """quantize -> s8 x s8 -> s32 conv -> dequantize -> bias, cast back to
     ``x.dtype`` — the whole int8 conv body every int8 call site runs.
 
@@ -176,33 +226,49 @@ def conv2d_s8_fused(x, inv_in, wq, deq, bias, *, stride=1, padding=0,
     @1024^2 bench — over the chip's 16 GiB). Chunking must wrap the WHOLE
     quantize->GEMM->dequantize body (not just the GEMM): a chunked s32
     output that only later dequantizes would re-materialize at full batch.
-    Here, when the full-batch patches exceed ``GAN_SEG_INT8_CHUNK_MB``
-    (default 2048), the batch runs through `lax.map` in the largest
-    divisor-sized chunks under the cap, each chunk emitting the
-    compute-dtype activation the float path would — peak extra memory is
-    one chunk's patches + one chunk's s32 accumulator. The integer conv is
-    exact across chunkings (batch grouping only); the f32 dequant epilogue
-    may differ by ~1 ulp where the compiled map body contracts
-    ``y * deq + bias`` into an FMA (asserted in tests/test_s2d_quant.py).
-    Mosaic compiles loop bodies at full conv quality (see BASELINE.md
-    scan_epochs). ``deq`` is the f32 per-out-channel dequant multiplier
-    (s_w * s_in); ``bias`` f32 or None."""
-    import os
+    Here, when the full-batch im2col working set (patches + s32 output +
+    any dilated-input copy, `_im2col_chunk_mib`) exceeds ``chunk_mb``
+    (default :data:`INT8_CHUNK_MB`), the batch runs through `lax.map` in
+    the largest divisor-sized chunks under the cap, each chunk emitting
+    the compute-dtype activation the float path would — peak extra memory
+    is one chunk's working set. The integer conv is exact across chunkings
+    (batch grouping only); the f32 dequant epilogue may differ by ~1 ulp
+    where the compiled map body contracts ``y * deq + bias`` into an FMA
+    (asserted in tests/test_s2d_quant.py). Mosaic compiles loop bodies at
+    full conv quality (see BASELINE.md scan_epochs). ``deq`` is the f32
+    per-out-channel dequant multiplier (s_w * s_in); ``bias`` f32 or None.
 
+    ``batch_shards``: shard count of the batch axis when ``x`` runs under
+    a data-parallel NamedSharding — the per-DEVICE working set is the
+    global estimate / shards, so the cap compares against that; and when
+    the batch axis IS sharded, the `lax.map` reshape is skipped entirely
+    (GSPMD cannot keep a scan axis sharded — the reshape would force
+    resharding collectives into the serving program; ADVICE r4). Callers
+    on a mesh pass their dp extent (`bench.build_fused`, FusedPipeline).
+    A single-sample (n==1) or sharded over-cap case runs unchunked with a
+    warning — spatial chunking is the future escape hatch there."""
     def body(xc):
         xq = quantize_act(xc, inv_in)
         y = conv2d_s8(xq, wq, stride=stride, padding=padding,
-                      lhs_dilation=lhs_dilation).astype(jnp.float32)
+                      lhs_dilation=lhs_dilation, form=form).astype(
+                          jnp.float32)
         y = y * deq
         if bias is not None:
             y = y + bias
         return y.astype(x.dtype)
 
-    form = os.environ.get("GAN_SEG_INT8_CONV", "im2col")
-    cap = float(os.environ.get("GAN_SEG_INT8_CHUNK_MB", 2048))
+    cap = INT8_CHUNK_MB if chunk_mb is None else float(chunk_mb)
     n = x.shape[0]
-    mib = _im2col_patch_mib(x.shape, wq.shape, stride, padding, lhs_dilation)
-    if form != "im2col" or mib <= cap or n == 1:
+    mib = _im2col_chunk_mib(x.shape, wq.shape, stride, padding,
+                            lhs_dilation) / max(int(batch_shards), 1)
+    if _resolve_form(form) != "im2col" or mib <= cap:
+        return body(x)
+    if n == 1 or batch_shards > 1:
+        warnings.warn(
+            f"conv2d_s8_fused: im2col working set ~{mib:.0f} MiB/device "
+            f"exceeds the {cap:.0f} MiB cap but batch chunking is "
+            f"unavailable (n={n}, batch_shards={batch_shards}); running "
+            "unchunked", stacklevel=2)
         return body(x)
     per = mib / n
     chunk = max([c for c in range(1, n + 1)
@@ -285,19 +351,23 @@ def prepare_s2d_int8(dec, variables: Dict,
     return {"stages": qstages}
 
 
-def _int8_hook(stage, st, x, kkey, bkey, **kw):
-    return conv2d_s8_fused(x, st[kkey + "_inv"], st[kkey],
-                           st[kkey + "_deq"], st[bkey], **kw)
-
-
 def apply_s2d_int8(dec, qprepared: Dict, inputs: List[jnp.ndarray],
-                   n_block_stages: int = 3,
-                   fine_logits: bool = False) -> jnp.ndarray:
+                   n_block_stages: int = 3, fine_logits: bool = False,
+                   batch_shards: int = 1) -> jnp.ndarray:
     """Int8 inference-equivalent of ``apply_s2d_prepared`` from a
     :func:`prepare_s2d_int8` tree — same stage walk, every conv s8xs8->s32,
-    elementwise tail unchanged in the decoder's compute dtype."""
+    elementwise tail unchanged in the decoder's compute dtype.
+
+    ``batch_shards``: dp shard count of the batch axis — forwarded to every
+    :func:`conv2d_s8_fused` site so its chunking decision sizes the
+    per-DEVICE working set and never reshapes a sharded batch axis."""
+    def hook(stage, st, x, kkey, bkey, **kw):
+        return conv2d_s8_fused(x, st[kkey + "_inv"], st[kkey],
+                               st[kkey + "_deq"], st[bkey],
+                               batch_shards=batch_shards, **kw)
+
     return apply_s2d_prepared(dec, qprepared, inputs, n_block_stages,
-                              fine_logits, conv_hook=_int8_hook)
+                              fine_logits, conv_hook=hook)
 
 
 # --------------------------------------------------------------- generator

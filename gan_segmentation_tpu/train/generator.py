@@ -163,10 +163,17 @@ class FusedPipeline:
         self.gen = image_generator
         self.solver = solver
         self.quant = quant
-        from ..core.mesh import SPACE_AXIS, constrain_spatial, replicate
+        from ..core.mesh import (DATA_AXIS, SPACE_AXIS, constrain_spatial,
+                                 replicate)
         self.mesh = mesh
         spatial = (mesh is not None and SPACE_AXIS in mesh.axis_names
                    and mesh.shape[SPACE_AXIS] > 1)
+        # dp extent of the batch axis: the int8 chunker sizes its
+        # per-DEVICE working set from this and never reshapes a sharded
+        # batch axis (ops/quant.conv2d_s8_fused)
+        dp_shards = (mesh.shape[DATA_AXIS]
+                     if mesh is not None and DATA_AXIS in mesh.axis_names
+                     else 1)
         if quant not in (None, "int8", "int8-full"):
             raise ValueError(f"unknown quant mode {quant!r}")
         if quant and spatial:
@@ -284,7 +291,8 @@ class FusedPipeline:
             if quant in ("int8", "int8-full"):
                 # s8xs8->s32 convs over the same s2d stage walk
                 logits = apply_s2d_int8(dec_model, dec_prepared, feats,
-                                        n_block_stages)
+                                        n_block_stages,
+                                        batch_shards=dp_shards)
                 mask = class_mask_s2d(logits, nclass)
             elif use_s2d:
                 # narrow high-res convs run in space-to-depth block layout

@@ -58,35 +58,62 @@ def test_conv2d_s8_exact_integer():
     dict(stride=1, padding=1, lhs_dilation=2),      # composed nearest-2x
     dict(stride=1, padding=((1, 2), (1, 2)), lhs_dilation=2),  # k4s2p1 deconv pads
 ])
-def test_conv2d_s8_im2col_matches_conv(case, monkeypatch):
+def test_conv2d_s8_im2col_matches_conv(case):
     """The two conv2d_s8 formulations (ops/quant.py) are bit-identical:
     integer accumulation is exact, so im2col patch-GEMM == XLA conv for
-    every form the generator/decoder int8 paths use."""
+    every form the generator/decoder int8 paths use. A/B runs through the
+    explicit ``form`` kwarg — the env var is frozen at import (ADVICE r4:
+    a jitted callable never re-reads it)."""
     rs = np.random.RandomState(7)
     k = 4 if case.get("lhs_dilation") and case["padding"] != 1 else 3
     x = jnp.asarray(rs.randint(-127, 128, (2, 6, 6, 5)), jnp.int8)
     w = jnp.asarray(rs.randint(-127, 128, (k, k, 5, 3)), jnp.int8)
-    outs = {}
-    for form in ("conv", "im2col"):
-        monkeypatch.setenv("GAN_SEG_INT8_CONV", form)
-        outs[form] = np.asarray(conv2d_s8(x, w, **case))
+    outs = {form: np.asarray(conv2d_s8(x, w, form=form, **case))
+            for form in ("conv", "im2col")}
     assert outs["conv"].dtype == np.int32
     np.testing.assert_array_equal(outs["conv"], outs["im2col"])
 
 
+def test_int8_form_validation():
+    """An unknown formulation must raise, never silently route to the
+    measured-21-50x-slower conv emitter (ADVICE r4): both the kwarg and
+    the import-time env read are validated."""
+    from gan_segmentation_tpu.ops import quant
+
+    x = jnp.zeros((1, 4, 4, 2), jnp.int8)
+    w = jnp.zeros((3, 3, 2, 2), jnp.int8)
+    with pytest.raises(ValueError, match="form"):
+        conv2d_s8(x, w, padding=1, form="imcol")
+    with pytest.raises(ValueError, match="GAN_SEG_INT8_CONV"):
+        quant._read_once("GAN_SEG_INT8_CONV", "typo'd-default", str)
+    # and the env path validates the same way at import time
+    import os
+    env = dict(os.environ, GAN_SEG_INT8_CONV="IM2COL")  # wrong case
+    import subprocess
+    import sys
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import gan_segmentation_tpu.ops.quant"],
+        env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0 and "GAN_SEG_INT8_CONV" in r.stderr
+
+
 @pytest.mark.parametrize("cap,case", [
-    ("0.0001", dict(stride=1, padding=1)),            # chunk=1 fallback
-    ("0.004", dict(stride=1, padding=1)),             # mid divisor chunk
-    ("0.0001", dict(stride=1, padding=((1, 2), (1, 2)), lhs_dilation=2)),
+    (0.0001, dict(stride=1, padding=1)),            # chunk=1 fallback
+    (0.004, dict(stride=1, padding=1)),             # mid divisor chunk
+    (0.0001, dict(stride=1, padding=((1, 2), (1, 2)), lhs_dilation=2)),
 ])
-def test_conv2d_s8_fused_chunked_bit_exact(cap, case, monkeypatch):
+def test_conv2d_s8_fused_chunked_close(cap, case):
     """conv2d_s8_fused (ops/quant.py): the lax.map batch-chunked form the
     big pipeline layers take (a full-batch im2col patches tensor exceeds
     HBM at bench shapes — s8[128,512,512,576] = 19.3 GiB at the 512-res
-    stage of the b128 @1024^2 run) matches the unchunked body: the integer
-    conv is exact (only batch grouping differs); the f32 dequant epilogue
-    may differ by ~1 ulp where the compiled map body contracts
-    ``y * deq + bias`` into an FMA and the eager path does not."""
+    stage of the b128 @1024^2 run) matches the unchunked body through the
+    FULL float epilogue to tolerance: the f32 dequant may differ by ~1 ulp
+    where the compiled map body contracts ``y * deq + bias`` into an FMA
+    and the eager path does not. (The bit-exactness of the underlying
+    INTEGER conv across chunkings is asserted exactly in
+    test_conv2d_s8_fused_chunked_integer_exact.)"""
     from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
 
     rs = np.random.RandomState(3)
@@ -97,28 +124,96 @@ def test_conv2d_s8_fused_chunked_bit_exact(cap, case, monkeypatch):
     bias = jnp.asarray(rs.randn(3), jnp.float32)
     inv = jnp.float32(127.0 / float(jnp.max(jnp.abs(x))))
 
-    monkeypatch.delenv("GAN_SEG_INT8_CHUNK_MB", raising=False)
     ref = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, **case))
-    monkeypatch.setenv("GAN_SEG_INT8_CHUNK_MB", cap)
-    got = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, **case))
+    got = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, chunk_mb=cap,
+                                     **case))
     np.testing.assert_allclose(ref, got, rtol=1e-6, atol=1e-3)
+
+
+def test_conv2d_s8_fused_chunked_integer_exact():
+    """The claimed bit-exact part, asserted EXACTLY (ADVICE r4): with
+    deq=1 and bias=None the fused body's output IS the s32 integer conv
+    (exactly representable in f32 at these magnitudes), so chunked and
+    unchunked must agree to the bit — integer accumulation only regroups
+    across batch chunks."""
+    from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
+
+    rs = np.random.RandomState(9)
+    x = jnp.asarray(rs.randn(6, 6, 6, 5), jnp.float32)
+    w = jnp.asarray(rs.randint(-127, 128, (3, 3, 5, 3)), jnp.int8)
+    one = jnp.ones((3,), jnp.float32)
+    inv = jnp.float32(127.0 / float(jnp.max(jnp.abs(x))))
+    ref = np.asarray(conv2d_s8_fused(x, inv, w, one, None, padding=1))
+    for cap in (0.0001, 0.004):
+        got = np.asarray(conv2d_s8_fused(x, inv, w, one, None, padding=1,
+                                         chunk_mb=cap))
+        assert (got == np.round(got)).all()  # integer-valued f32
+        np.testing.assert_array_equal(ref, got)
+
+
+def test_conv2d_s8_fused_sharded_batch_skips_chunking():
+    """Under a data-parallel batch sharding the per-device working set is
+    global/shards and a lax.map over the batch axis would force GSPMD
+    resharding collectives (ADVICE r4): with batch_shards>1 the fused op
+    must (a) divide the cap comparison and (b) NEVER reshape+scan — it
+    warns and runs unchunked instead. n==1 over-cap warns too."""
+    from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
+
+    rs = np.random.RandomState(11)
+    x = jnp.asarray(rs.randn(4, 6, 6, 5), jnp.float32)
+    w = jnp.asarray(rs.randint(-127, 128, (3, 3, 5, 3)), jnp.int8)
+    deq = jnp.ones((3,), jnp.float32)
+    inv = jnp.float32(1.0)
+
+    def jaxpr(**kw):
+        return str(jax.make_jaxpr(lambda a: conv2d_s8_fused(
+            a, inv, w, deq, None, padding=1, **kw))(x))
+
+    assert "scan" in jaxpr(chunk_mb=0.004)  # unsharded: chunks via lax.map
+    with pytest.warns(UserWarning, match="batch_shards=4"):
+        assert "scan" not in jaxpr(chunk_mb=0.0001, batch_shards=4)
+    # a big-enough per-device estimate under the cap: no warning, no scan
+    assert "scan" not in jaxpr(chunk_mb=0.1, batch_shards=4)
+    with pytest.warns(UserWarning, match="n=1"):
+        str(jax.make_jaxpr(lambda a: conv2d_s8_fused(
+            a, inv, w, deq, None, padding=1, chunk_mb=0.0001))(x[:1]))
+
+
+def test_im2col_chunk_mib_counts_full_working_set():
+    """The chunk estimator includes the s32 accumulator and the dilated
+    input copy, not just the s8 patches (ADVICE r4: patches alone admit a
+    several-x larger real peak)."""
+    from gan_segmentation_tpu.ops.quant import _im2col_chunk_mib
+
+    # 3x3 stride-1 pad-1: ho=wo=h; patches = n*h*w*9*ci; out = n*h*w*co*4
+    got = _im2col_chunk_mib((2, 8, 8, 5), (3, 3, 5, 7), 1, 1, None)
+    expect = (2 * 8 * 8 * 9 * 5 + 2 * 8 * 8 * 7 * 4) / 2**20
+    assert abs(got - expect) < 1e-12
+    # dilated: + the zero-inserted s8 input copy at (2h-1)x(2w-1)
+    got_d = _im2col_chunk_mib((2, 8, 8, 5), (3, 3, 5, 7), 1, 1, 2)
+    assert got_d > got
+    # string padding routes to the conv emitter: no im2col working set
+    assert _im2col_chunk_mib((2, 8, 8, 5), (3, 3, 5, 7), 1, "SAME", None) == 0.0
 
 
 def test_apply_s2d_int8_chunked_matches_unchunked(monkeypatch):
     """Forcing the chunked int8 conv body through the REAL decoder walk
     (every site: cvt/k0/k1/ksc/kf) reproduces the default path to f32
     epilogue rounding (FMA contraction, see the fused-op test) with
-    identical argmax masks."""
+    identical argmax masks. The cap is process-level config frozen at
+    import, so the test overrides the module constant (the env would be
+    stale — exactly the trace-time staleness the freeze exists to stop)."""
+    from gan_segmentation_tpu.ops import quant
+
     cfg = SolverConfig(max_res_log2=5)
     dec = decoder_from_config(cfg)
     feats = _pyramids(cfg, 21, batch=4)
     v = jax.jit(lambda f: dec.init(jax.random.PRNGKey(0), f, False))(feats)
     q = prepare_s2d_int8(dec, v, [_pyramids(cfg, 51)], 2)
 
-    monkeypatch.delenv("GAN_SEG_INT8_CHUNK_MB", raising=False)
     ref = np.asarray(jax.jit(lambda p, f: apply_s2d_int8(
         dec, p, f, 2, fine_logits=True))(q, feats))
-    monkeypatch.setenv("GAN_SEG_INT8_CHUNK_MB", "0.01")
+    monkeypatch.setattr(quant, "INT8_CHUNK_MB", 0.01)
     got = np.asarray(jax.jit(lambda p, f: apply_s2d_int8(
         dec, p, f, 2, fine_logits=True))(q, feats))
     np.testing.assert_allclose(ref, got, rtol=1e-5, atol=1e-3)
@@ -190,10 +285,19 @@ def test_int8_bundle_roundtrip(tmp_path):
                               cfg.num_classes)
 
     specs = [jax.ShapeDtypeStruct(x.shape, x.dtype) for x in feats]
-    save_bundle(str(tmp_path / "b"), serve, q, (specs,))
+    save_bundle(str(tmp_path / "b"), serve, q, (specs,),
+                meta={"quant": "int8"})
     run = load_bundle(str(tmp_path / "b"))
     live = np.asarray(jax.jit(serve)(q, feats))
     np.testing.assert_array_equal(np.asarray(run(feats)), live)
+
+    # the bundle records which int8 conv form its program baked in
+    # (process config frozen at import — ADVICE r4 attribution)
+    from gan_segmentation_tpu.core.export import load_bundle_meta
+    meta = load_bundle_meta(str(tmp_path / "b"))
+    assert meta["int8_form"] in ("im2col", "conv")
+    assert meta["quant"] == "int8" and meta["n_weights"] > 0
+    assert load_bundle_meta(str(tmp_path / "nonexistent")) == {}
 
 
 class TestGeneratorQuant:
