@@ -30,7 +30,6 @@ trained weights with `tools/parity_dryrun.py` when real checkpoints exist.
 """
 
 import os
-import warnings
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -220,62 +219,47 @@ def conv2d_s8_fused(x, inv_in, wq, deq, bias, *, stride=1, padding=0,
     """quantize -> s8 x s8 -> s32 conv -> dequantize -> bias, cast back to
     ``x.dtype`` — the whole int8 conv body every int8 call site runs.
 
-    Why one fused entry point: the im2col patches tensor is kh*kw times
-    the activation, and at pipeline batch sizes it exceeds HBM outright
-    (s8[128,512,512,576] = 19.3 GiB at the 512-res stage of the b128
-    @1024^2 bench — over the chip's 16 GiB). Chunking must wrap the WHOLE
-    quantize->GEMM->dequantize body (not just the GEMM): a chunked s32
-    output that only later dequantizes would re-materialize at full batch.
-    Here, when the full-batch im2col working set (patches + s32 output +
-    any dilated-input copy, `_im2col_chunk_mib`) exceeds ``chunk_mb``
-    (default :data:`INT8_CHUNK_MB`), the batch runs through `lax.map` in
-    the largest divisor-sized chunks under the cap, each chunk emitting
-    the compute-dtype activation the float path would — peak extra memory
-    is one chunk's working set. The integer conv is exact across chunkings
-    (batch grouping only); the f32 dequant epilogue may differ by ~1 ulp
-    where the compiled map body contracts ``y * deq + bias`` into an FMA
-    (asserted in tests/test_s2d_quant.py). Mosaic compiles loop bodies at
-    full conv quality (see BASELINE.md scan_epochs). ``deq`` is the f32
-    per-out-channel dequant multiplier (s_w * s_in); ``bias`` f32 or None.
+    Form policy (per site, decided at trace time from static shapes): the
+    im2col integer GEMM (21-50x faster than the conv emitter at op level,
+    bit-identical) — UNLESS its full-batch working set (patches + s32
+    output + any dilated-input copy, `_im2col_chunk_mib`, divided by
+    ``batch_shards`` for the per-device footprint) exceeds ``chunk_mb``
+    (default :data:`INT8_CHUNK_MB`), in which case the site falls back to
+    the native conv-emitter form. The two forms are bit-identical
+    (integer accumulation; asserted in tests/test_s2d_quant.py), so the
+    policy affects only speed/memory, never values.
 
-    ``batch_shards``: shard count of the batch axis when ``x`` runs under
-    a data-parallel NamedSharding — the per-DEVICE working set is the
-    global estimate / shards, so the cap compares against that; and when
-    the batch axis IS sharded, the `lax.map` reshape is skipped entirely
-    (GSPMD cannot keep a scan axis sharded — the reshape would force
-    resharding collectives into the serving program; ADVICE r4). Callers
-    on a mesh pass their dp extent (`bench.build_fused`, FusedPipeline).
-    A single-sample (n==1) or sharded over-cap case runs unchunked with a
-    warning — spatial chunking is the future escape hatch there."""
-    def body(xc):
-        xq = quantize_act(xc, inv_in)
-        y = conv2d_s8(xq, wq, stride=stride, padding=padding,
-                      lhs_dilation=lhs_dilation, form=form).astype(
-                          jnp.float32)
-        y = y * deq
-        if bias is not None:
-            y = y + bias
-        return y.astype(x.dtype)
+    Why fall back rather than chunk: an earlier revision ran over-cap
+    sites through a `lax.map` batch-chunked im2col. At the b128 @1024^2
+    pipeline shape that OOMed the TPU compiler at 34G/15.75G HBM — the
+    map boundary breaks XLA's producer/consumer fusion, materializing
+    full-batch fine-grid activations in C-minor layouts that pad the
+    32-channel lane dim 4x (three 8G copies of 2G tensors). The conv
+    emitter form keeps every op fusible and compiles the same pipeline in
+    ~14G (round-3 end-to-end proof at 366-368 samples/s), and the map's
+    scan also could not partition under a data-parallel batch sharding
+    (ADVICE r4). Patches im2col at the sites that fit + conv emitter at
+    the giant narrow fine-grid sites is the best compilable composition;
+    `tools/bench_quant_ab.py` measures the net.
 
+    ``deq`` is the f32 per-out-channel dequant multiplier (s_w * s_in);
+    ``bias`` f32 or None. ``batch_shards``: dp shard count of the batch
+    axis (callers on a mesh pass their dp extent — `bench.build_fused`,
+    FusedPipeline)."""
     cap = INT8_CHUNK_MB if chunk_mb is None else float(chunk_mb)
-    n = x.shape[0]
-    mib = _im2col_chunk_mib(x.shape, wq.shape, stride, padding,
-                            lhs_dilation) / max(int(batch_shards), 1)
-    if _resolve_form(form) != "im2col" or mib <= cap:
-        return body(x)
-    if n == 1 or batch_shards > 1:
-        warnings.warn(
-            f"conv2d_s8_fused: im2col working set ~{mib:.0f} MiB/device "
-            f"exceeds the {cap:.0f} MiB cap but batch chunking is "
-            f"unavailable (n={n}, batch_shards={batch_shards}); running "
-            "unchunked", stacklevel=2)
-        return body(x)
-    per = mib / n
-    chunk = max([c for c in range(1, n + 1)
-                 if n % c == 0 and per * c <= cap] or [1])
-    xr = x.reshape((n // chunk, chunk) + x.shape[1:])
-    y = lax.map(body, xr)
-    return y.reshape((n,) + y.shape[2:])
+    form = _resolve_form(form)
+    if form == "im2col":
+        mib = _im2col_chunk_mib(x.shape, wq.shape, stride, padding,
+                                lhs_dilation) / max(int(batch_shards), 1)
+        if mib > cap:
+            form = "conv"
+    xq = quantize_act(x, inv_in)
+    y = conv2d_s8(xq, wq, stride=stride, padding=padding,
+                  lhs_dilation=lhs_dilation, form=form).astype(jnp.float32)
+    y = y * deq
+    if bias is not None:
+        y = y + bias
+    return y.astype(x.dtype)
 
 
 def collect_calibration(dec, prepared: Dict, inputs: List[jnp.ndarray],

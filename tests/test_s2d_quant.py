@@ -100,20 +100,17 @@ def test_int8_form_validation():
 
 
 @pytest.mark.parametrize("cap,case", [
-    (0.0001, dict(stride=1, padding=1)),            # chunk=1 fallback
-    (0.004, dict(stride=1, padding=1)),             # mid divisor chunk
+    (0.0001, dict(stride=1, padding=1)),
+    (0.004, dict(stride=1, padding=1)),
     (0.0001, dict(stride=1, padding=((1, 2), (1, 2)), lhs_dilation=2)),
 ])
-def test_conv2d_s8_fused_chunked_close(cap, case):
-    """conv2d_s8_fused (ops/quant.py): the lax.map batch-chunked form the
-    big pipeline layers take (a full-batch im2col patches tensor exceeds
-    HBM at bench shapes — s8[128,512,512,576] = 19.3 GiB at the 512-res
-    stage of the b128 @1024^2 run) matches the unchunked body through the
-    FULL float epilogue to tolerance: the f32 dequant may differ by ~1 ulp
-    where the compiled map body contracts ``y * deq + bias`` into an FMA
-    and the eager path does not. (The bit-exactness of the underlying
-    INTEGER conv across chunkings is asserted exactly in
-    test_conv2d_s8_fused_chunked_integer_exact.)"""
+def test_conv2d_s8_fused_overcap_fallback_exact(cap, case):
+    """conv2d_s8_fused (ops/quant.py): a site whose im2col working set
+    exceeds the cap falls back to the conv-emitter form (the lax.map
+    chunking it replaced OOMed the TPU compiler at b128 @1024^2 — three
+    full-batch 4x-lane-padded copies at the map's fusion boundary). The
+    two forms are bit-identical through the FULL float epilogue: same
+    integer conv values, same epilogue op order."""
     from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
 
     rs = np.random.RandomState(3)
@@ -127,15 +124,14 @@ def test_conv2d_s8_fused_chunked_close(cap, case):
     ref = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, **case))
     got = np.asarray(conv2d_s8_fused(x, inv, w, deq, bias, chunk_mb=cap,
                                      **case))
-    np.testing.assert_allclose(ref, got, rtol=1e-6, atol=1e-3)
+    np.testing.assert_array_equal(ref, got)
 
 
-def test_conv2d_s8_fused_chunked_integer_exact():
+def test_conv2d_s8_fused_overcap_integer_exact():
     """The claimed bit-exact part, asserted EXACTLY (ADVICE r4): with
     deq=1 and bias=None the fused body's output IS the s32 integer conv
-    (exactly representable in f32 at these magnitudes), so chunked and
-    unchunked must agree to the bit — integer accumulation only regroups
-    across batch chunks."""
+    (exactly representable in f32 at these magnitudes), so the over-cap
+    conv-emitter fallback must agree with im2col to the bit."""
     from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
 
     rs = np.random.RandomState(9)
@@ -151,12 +147,14 @@ def test_conv2d_s8_fused_chunked_integer_exact():
         np.testing.assert_array_equal(ref, got)
 
 
-def test_conv2d_s8_fused_sharded_batch_skips_chunking():
-    """Under a data-parallel batch sharding the per-device working set is
-    global/shards and a lax.map over the batch axis would force GSPMD
-    resharding collectives (ADVICE r4): with batch_shards>1 the fused op
-    must (a) divide the cap comparison and (b) NEVER reshape+scan — it
-    warns and runs unchunked instead. n==1 over-cap warns too."""
+def test_conv2d_s8_fused_form_policy():
+    """The static form policy, pinned at the jaxpr level: under-cap sites
+    run the im2col GEMM (a dot_general, no conv primitive), over-cap
+    sites fall back to the conv emitter (conv primitive, no scan — the
+    removed lax.map chunking must never come back silently: it broke
+    fusion and OOMed the b128 compile, and its scan axis could not stay
+    sharded under data parallelism). ``batch_shards`` divides the
+    estimate, so a batch sharded widely enough re-enables im2col."""
     from gan_segmentation_tpu.ops.quant import conv2d_s8_fused
 
     rs = np.random.RandomState(11)
@@ -169,14 +167,13 @@ def test_conv2d_s8_fused_sharded_batch_skips_chunking():
         return str(jax.make_jaxpr(lambda a: conv2d_s8_fused(
             a, inv, w, deq, None, padding=1, **kw))(x))
 
-    assert "scan" in jaxpr(chunk_mb=0.004)  # unsharded: chunks via lax.map
-    with pytest.warns(UserWarning, match="batch_shards=4"):
-        assert "scan" not in jaxpr(chunk_mb=0.0001, batch_shards=4)
-    # a big-enough per-device estimate under the cap: no warning, no scan
-    assert "scan" not in jaxpr(chunk_mb=0.1, batch_shards=4)
-    with pytest.warns(UserWarning, match="n=1"):
-        str(jax.make_jaxpr(lambda a: conv2d_s8_fused(
-            a, inv, w, deq, None, padding=1, chunk_mb=0.0001))(x[:1]))
+    under = jaxpr(chunk_mb=10.0)
+    assert "dot_general" in under and "conv_general_dilated" not in under
+    over = jaxpr(chunk_mb=0.0001)
+    assert "conv_general_dilated" in over and "scan" not in over
+    # per-device estimate: 4-way sharding brings this site back under cap
+    sharded = jaxpr(chunk_mb=0.004, batch_shards=4)
+    assert "dot_general" in sharded and "scan" not in sharded
 
 
 def test_im2col_chunk_mib_counts_full_working_set():
@@ -196,13 +193,13 @@ def test_im2col_chunk_mib_counts_full_working_set():
     assert _im2col_chunk_mib((2, 8, 8, 5), (3, 3, 5, 7), 1, "SAME", None) == 0.0
 
 
-def test_apply_s2d_int8_chunked_matches_unchunked(monkeypatch):
-    """Forcing the chunked int8 conv body through the REAL decoder walk
-    (every site: cvt/k0/k1/ksc/kf) reproduces the default path to f32
-    epilogue rounding (FMA contraction, see the fused-op test) with
-    identical argmax masks. The cap is process-level config frozen at
-    import, so the test overrides the module constant (the env would be
-    stale — exactly the trace-time staleness the freeze exists to stop)."""
+def test_apply_s2d_int8_overcap_matches_default(monkeypatch):
+    """Forcing the over-cap conv-emitter fallback through the REAL decoder
+    walk (every site: cvt/k0/k1/ksc/kf) reproduces the default im2col
+    path with identical argmax masks. The cap is process-level config
+    frozen at import, so the test overrides the module constant (the env
+    would be stale — exactly the trace-time staleness the freeze exists
+    to stop)."""
     from gan_segmentation_tpu.ops import quant
 
     cfg = SolverConfig(max_res_log2=5)
