@@ -162,6 +162,10 @@ def main():
     ap.add_argument("--hlo", required=True)
     ap.add_argument("--top", type=int, default=10)
     ap.add_argument("--plane", default="TPU")
+    ap.add_argument("--line", default="XLA Ops",
+                    help="plane line to read (per-op self-times); module "
+                         "and Async-DMA lines enclose/overlap these and "
+                         "must not be summed into a roofline")
     ap.add_argument("--bw-gbs", type=float, default=157.0,
                     help="measured stream bandwidth (BASELINE envelope)")
     ap.add_argument("--tf-probe", type=float, default=39.6,
@@ -182,7 +186,7 @@ def main():
 
     best = None
     for plane_buf in load_xspace_planes(path):
-        name, ops = plane_op_times(plane_buf)
+        name, ops = plane_op_times(plane_buf, line_name=args.line)
         total = sum(t for t, _ in ops.values())
         if args.plane.lower() in name.lower() and total:
             best = (name, ops, total)
@@ -194,7 +198,7 @@ def main():
 
     rows = []
     for op, (ps, cnt) in sorted(ops.items(), key=lambda kv: -kv[1][0]):
-        ms = ps / 1e6 / max(cnt, 1)  # per execution
+        ms = ps / 1e9 / max(cnt, 1)  # duration_ps -> ms, per execution
         nbytes, macs, kind = op_stats(op, defs, bodies)
         gbs = nbytes / (ms / 1e3) / 1e9 if ms else 0.0
         tf = 2 * macs / (ms / 1e3) / 1e12 if ms else 0.0
@@ -203,8 +207,8 @@ def main():
         if len(rows) >= args.top:
             break
 
-    print(f"# plane: {pname}; total device time "
-          f"{total_ps / 1e6:.1f} ms across events")
+    print(f"# plane: {pname}; line {args.line!r}; total device time "
+          f"{total_ps / 1e9:.1f} ms across events")
     if args.md:
         print("| op | kind | ms/exec | % dev | GB/s (% bw) | "
               "TFLOP/s (% probe) | verdict |")

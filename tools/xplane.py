@@ -87,11 +87,25 @@ def parse_plane(buf):
     return name, lines, meta
 
 
-def plane_op_times(plane_buf):
-    """-> (plane_name, {op_name: (total_ps, count)})."""
+def plane_op_times(plane_buf, line_name=None):
+    """-> (plane_name, {op_name: (total_ps, count)}).
+
+    ``line_name``: aggregate only lines with EXACTLY this name (e.g.
+    ``"XLA Ops"`` for per-op self-times on a TPU device plane — substring
+    matching would also catch ``"Async XLA Ops"``, whose DMA windows
+    overlap compute). Without it, ALL lines are summed — which double
+    counts on device planes ("XLA Modules" events enclose the "XLA Ops"
+    events), so pass it whenever the numbers feed a roofline.
+    """
     name, lines, meta = parse_plane(plane_buf)
     agg = defaultdict(lambda: [0, 0])
     for line_buf in lines:
+        lname = ""
+        for fnum, _, val in fields(line_buf):
+            if fnum == 2:
+                lname = val.decode("utf-8", "replace")
+        if line_name is not None and lname != line_name:
+            continue
         for fnum, _, val in fields(line_buf):
             if fnum != 4:
                 continue
