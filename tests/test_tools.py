@@ -160,3 +160,22 @@ def test_prof_table_ms_and_roofline(tmp_path, capsys, monkeypatch):
     # MACs: out 1*8*8*8 elems * 3*3 taps * ci 4 = 18432
     macs = 2 * 18432 / (3.0e-3) / 1e12  # TFLOP/s at 3 ms
     assert f"{macs:6.1f} TF" in lines[0]
+
+
+@pytest.mark.slow
+def test_bench_quant_ab_smoke():
+    """The interleaved bf16-vs-int8 A/B protocol runs end to end on tiny
+    shapes: every mode gets built, warmed, and timed round-robin, and the
+    record carries the frozen form policy the measurement is attributable
+    to (ADVICE r4: measurements must record their int8 form)."""
+    import bench_quant_ab
+
+    out = bench_quant_ab.main(
+        ["--batch", "2", "--iters", "1", "--repeat", "2",
+         "--max-res-log2", "5", "--warmup", "1", "--modes", "bf16,int8"])
+    assert set(out["modes"]) == {"bf16", "int8"}
+    for rec in out["modes"].values():
+        assert rec["median"] > 0
+        assert rec["captures"]["repeat"] == 2
+    assert out["int8_form"] in ("im2col", "conv")
+    assert out["metric"] == "quant_ab_32px"

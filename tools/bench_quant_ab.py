@@ -32,7 +32,7 @@ import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--iters", type=int, default=4)
@@ -40,7 +40,7 @@ def main():
     ap.add_argument("--max-res-log2", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--modes", default="bf16,int8,int8-full")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     from gan_segmentation_tpu.core.jit_cache import enable_persistent_cache
     enable_persistent_cache()
@@ -102,6 +102,7 @@ def main():
         out["modes"][mode] = {"median": round(value, 3),
                               "captures": captures}
     print(json.dumps(out), flush=True)
+    return out
 
 
 if __name__ == "__main__":
