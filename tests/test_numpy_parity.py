@@ -153,3 +153,69 @@ def test_generator_parity_res128_deconv_path():
     """max_res_log2=7 exercises the fused-upscale Deconvolution gate
     (`networks_stylegan.py:154`, k4 s2 p1) that res 32/64 never hits."""
     _run_generator_parity(7, batch=1, seed=9, via_file=None)
+
+
+# -------------------------------------------------------------------------
+# DeepLab head oracle (round 5): the flax DeepLabV3/V3+ forward vs
+# tests/ref_numpy_deeplab.py, a pure-numpy transliteration of the
+# reference head math (ASPP, asymmetric same-pad separable convs,
+# align-corners bilinear, _FCNHead). The backbone features are computed
+# ONCE by the package backbone and fed to both heads, so any disagreement
+# isolates to the head semantics this oracle re-derives from
+# `/root/reference/deeplabv3plus/lib/model/deeplabv3plus.py`.
+
+import ref_numpy_deeplab
+
+
+def _randomize_variables(variables, seed):
+    """Non-trivial params AND BatchNorm running stats (the default init's
+    mean=0/var=1 would make bn_eval a near-identity and hide eps/stat
+    bugs)."""
+    rng = np.random.default_rng(seed)
+
+    def leaf(path, v):
+        name = path[-1].key if hasattr(path[-1], "key") else str(path[-1])
+        if name == "var":
+            return jnp.asarray(rng.uniform(0.5, 1.5, v.shape), v.dtype)
+        if name == "mean":
+            return jnp.asarray(rng.normal(0, 0.2, v.shape), v.dtype)
+        return jnp.asarray(rng.normal(0, 0.1, v.shape), v.dtype)
+
+    return jax.tree_util.tree_map_with_path(leaf, variables)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_kind", ["v3plus", "v3"])
+def test_deeplab_head_matches_numpy_reference(model_kind):
+    from gan_segmentation_tpu.models.deeplab import DeepLabV3, DeepLabV3Plus
+    from gan_segmentation_tpu.models.resnet import ResNetV1s
+
+    cls = DeepLabV3Plus if model_kind == "v3plus" else DeepLabV3
+    model = cls(nclass=3, backbone="resnet50", aux=True)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0, 1, (1, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, False))(
+        jax.random.PRNGKey(0), x)
+    variables = _randomize_variables(variables, seed=1)
+
+    out, aux = jax.jit(lambda v, x: model.apply(v, x, False))(variables, x)
+
+    backbone = ResNetV1s(layers=(3, 4, 6, 3), dilated=True)
+    c1, c3, c4 = jax.jit(lambda v, x: backbone.apply(v, x, False))(
+        {"params": variables["params"]["backbone"],
+         "batch_stats": variables["batch_stats"]["backbone"]}, x)
+
+    p = jax.device_get(variables["params"])
+    s = jax.device_get(variables["batch_stats"])
+    c1, c3, c4 = (np.asarray(t, np.float32) for t in (c1, c3, c4))
+    if model_kind == "v3plus":
+        ref_out, ref_aux = ref_numpy_deeplab.deeplab_v3plus_head(
+            c1, c3, c4, p, s, out_hw=(64, 64))
+    else:
+        ref_out, ref_aux = ref_numpy_deeplab.deeplab_v3_head(
+            c3, c4, p, s, out_hw=(64, 64))
+
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(aux), ref_aux,
+                               rtol=1e-4, atol=1e-4)
