@@ -196,3 +196,79 @@ def deeplab_v3_head(c3, c4, params, stats, out_hw, aux=True):
         a = fcn_head(c3, p["auxlayer"], s["auxlayer"])
         outs.append(bilinear_align_corners(a, *out_hw))
     return tuple(outs)
+
+
+# -------------------------------------------------------------------------
+# backbone: gluoncv resnet50_v1s deep-stem dilated (the model the
+# reference wraps at `deeplabv3plus.py:92-100`; dilation rules as in the
+# in-repo dilated variant `/root/reference/deeplabv3plus/lib/model/
+# resnext_dilated.py:143-221`: dilated stages run stride 1 with dilation
+# 2/4, the first block of a dilation-4 stage uses dilation 2, and the
+# first block of a dilation-2 stage uses dilation 1)
+# -------------------------------------------------------------------------
+
+def max_pool_3x3_s2_p1(x):
+    """gluoncv stem maxpool: 3x3, stride 2, pad 1 (pad value -inf)."""
+    n, h, w, c = x.shape
+    xp = np.full((n, h + 2, w + 2, c), -np.inf, np.float32)
+    xp[:, 1:h + 1, 1:w + 1] = x
+    ho, wo = (h + 2 - 3) // 2 + 1, (w + 2 - 3) // 2 + 1
+    out = np.full((n, ho, wo, c), -np.inf, np.float32)
+    for ki in range(3):
+        for kj in range(3):
+            out = np.maximum(out, xp[:, ki:ki + ho * 2:2, kj:kj + wo * 2:2])
+    return out
+
+
+def bottleneck_v1b(x, p, s, stride=1, dilation=1):
+    """gluoncv BottleneckV1b: 1x1 -> BN -> relu, 3x3 (stride, dilation,
+    pad=dilation) -> BN -> relu, 1x1 -> BN, optional 1x1-strided
+    downsample on the residual, relu(sum)."""
+    out = relu(bn_eval(conv2d(x, p["conv1"]["kernel"]), p["bn1"], s["bn1"]))
+    out = conv2d(out, p["conv2"]["kernel"], stride=stride,
+                 pad=(dilation, dilation), dilation=dilation)
+    out = relu(bn_eval(out, p["bn2"], s["bn2"]))
+    out = bn_eval(conv2d(out, p["conv3"]["kernel"]), p["bn3"], s["bn3"])
+    if "downsample_conv" in p:
+        res = conv2d(x, p["downsample_conv"]["kernel"], stride=stride)
+        res = bn_eval(res, p["downsample_bn"], s["downsample_bn"])
+    else:
+        res = x
+    return relu(out + res)
+
+
+def _resnet_stage(x, p, s, idx, blocks, stride, dilation):
+    first_dilation = 1 if dilation <= 2 else dilation // 2
+    x = bottleneck_v1b(x, p[f"layer{idx}_block0"], s[f"layer{idx}_block0"],
+                       stride=stride, dilation=first_dilation)
+    for b in range(1, blocks):
+        x = bottleneck_v1b(x, p[f"layer{idx}_block{b}"],
+                           s[f"layer{idx}_block{b}"], dilation=dilation)
+    return x
+
+
+def resnet_v1s_forward(x, p, s, layers=(3, 4, 6, 3), dilated=True):
+    """Deep-stem ResNet-v1s (stem 3x3 s2 -> 3x3 -> 3x3 doubling width,
+    maxpool 3x3 s2 p1), four bottleneck stages; returns (c1, c3, c4)."""
+    for i in range(3):
+        x = conv2d(x, p[f"stem_conv{i}"]["kernel"],
+                   stride=2 if i == 0 else 1, pad=(1, 1))
+        x = relu(bn_eval(x, p[f"stem_bn{i}"], s[f"stem_bn{i}"]))
+    x = max_pool_3x3_s2_p1(x)
+    c1 = _resnet_stage(x, p, s, 1, layers[0], 1, 1)
+    c2 = _resnet_stage(c1, p, s, 2, layers[1], 2, 1)
+    if dilated:
+        c3 = _resnet_stage(c2, p, s, 3, layers[2], 1, 2)
+        c4 = _resnet_stage(c3, p, s, 4, layers[3], 1, 4)
+    else:
+        c3 = _resnet_stage(c2, p, s, 3, layers[2], 2, 1)
+        c4 = _resnet_stage(c3, p, s, 4, layers[3], 2, 1)
+    return c1, c3, c4
+
+
+def deeplab_v3plus_forward(x, params, stats, out_hw=None, aux=True):
+    """Full-model oracle: deep-stem dilated backbone + V3+ head."""
+    out_hw = out_hw or (x.shape[1], x.shape[2])
+    c1, c3, c4 = resnet_v1s_forward(x, params["backbone"],
+                                    stats["backbone"])
+    return deeplab_v3plus_head(c1, c3, c4, params, stats, out_hw, aux=aux)

@@ -219,3 +219,33 @@ def test_deeplab_head_matches_numpy_reference(model_kind):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(aux), ref_aux,
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_deeplab_v3plus_full_forward_matches_numpy_reference():
+    """FULL-forward oracle: x -> numpy deep-stem dilated resnet50 ->
+    numpy V3+ head vs the flax DeepLabV3Plus apply — the entire RGB
+    segmentation model re-derived independently, so a semantics bug
+    shared by our backbone and its self-generated goldens (stem widths,
+    first-block dilation rules, maxpool padding, residual paths) cannot
+    hide."""
+    from gan_segmentation_tpu.models.deeplab import DeepLabV3Plus
+
+    model = DeepLabV3Plus(nclass=2, backbone="resnet50", aux=True)
+    x = jnp.asarray(np.random.default_rng(2).normal(
+        0, 1, (1, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, False))(
+        jax.random.PRNGKey(0), x)
+    variables = _randomize_variables(variables, seed=3)
+
+    out, aux = jax.jit(lambda v, x: model.apply(v, x, False))(variables, x)
+
+    p = jax.device_get(variables["params"])
+    s = jax.device_get(variables["batch_stats"])
+    ref_out, ref_aux = ref_numpy_deeplab.deeplab_v3plus_forward(
+        np.asarray(x, np.float32), p, s)
+
+    np.testing.assert_allclose(np.asarray(out), ref_out,
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(aux), ref_aux,
+                               rtol=1e-3, atol=1e-3)
