@@ -272,3 +272,73 @@ def deeplab_v3plus_forward(x, params, stats, out_hw=None, aux=True):
     c1, c3, c4 = resnet_v1s_forward(x, params["backbone"],
                                     stats["backbone"])
     return deeplab_v3plus_head(c1, c3, c4, params, stats, out_hw, aux=aux)
+
+
+# -------------------------------------------------------------------------
+# ResNeXt dilated backbone (+SE): transliterated from the reference's
+# IN-REPO source `/root/reference/deeplabv3plus/lib/model/resnext_dilated.py`
+# (`Block` :60-114, stem :152-157, `_make_layer` dilation rules :196-214):
+# 7x7 s2 p3 stem, grouped 3x3 bottlenecks (D = floor(channels*bw/64),
+# group_width = cardinality*D), EVERY stage's first block downsampling
+# (1x1, stride), dilation-2 stages starting at dilation 1 and dilation-4
+# stages at 2, SE = 1x1(channels//4)+relu -> 1x1(channels*4)+sigmoid with
+# BIAS on both (mxnet Conv2D default), and the last_gamma quirk: the
+# final bottleneck BN zero-inits gamma when last_gamma is FALSE (:77-81)
+# — a weight-init fact, invisible here because stats/params arrive
+# randomized, but reproduced by the package init and tested there.
+# -------------------------------------------------------------------------
+
+def resnext_block(x, p, s, cardinality, stride=1, dilation=1,
+                  use_se=False):
+    out = relu(bn_eval(conv2d(x, p["conv1"]["kernel"]), p["bn1"], s["bn1"]))
+    out = conv2d(out, p["conv2"]["kernel"], stride=stride,
+                 pad=(dilation, dilation), dilation=dilation,
+                 groups=cardinality)
+    out = relu(bn_eval(out, p["bn2"], s["bn2"]))
+    out = bn_eval(conv2d(out, p["conv3"]["kernel"]), p["bn3"], s["bn3"])
+    if use_se:
+        w = np.mean(out, axis=(1, 2), keepdims=True)
+        w = relu(conv2d(w, p["se_conv1"]["kernel"], p["se_conv1"]["bias"]))
+        w = conv2d(w, p["se_conv2"]["kernel"], p["se_conv2"]["bias"])
+        w = 1.0 / (1.0 + np.exp(-w))
+        out = out * w
+    if "downsample_conv" in p:
+        res = conv2d(x, p["downsample_conv"]["kernel"], stride=stride)
+        res = bn_eval(res, p["downsample_bn"], s["downsample_bn"])
+    else:
+        res = x
+    return relu(out + res)
+
+
+def _resnext_stage(x, p, s, idx, blocks, stride, dilation, cardinality,
+                   use_se):
+    first_dilation = 2 if dilation == 4 else 1
+    x = resnext_block(x, p[f"layer{idx}_block0"], s[f"layer{idx}_block0"],
+                      cardinality, stride=stride, dilation=first_dilation,
+                      use_se=use_se)
+    for b in range(1, blocks):
+        x = resnext_block(x, p[f"layer{idx}_block{b}"],
+                          s[f"layer{idx}_block{b}"], cardinality,
+                          dilation=dilation, use_se=use_se)
+    return x
+
+
+def resnext_dilated_forward(x, p, s, layers=(3, 4, 6, 3), cardinality=32,
+                            use_se=False, dilated=True):
+    """7x7 stem + four grouped-bottleneck stages; returns (c1, c3, c4)."""
+    x = conv2d(x, p["stem_conv"]["kernel"], stride=2, pad=(3, 3))
+    x = relu(bn_eval(x, p["stem_bn"], s["stem_bn"]))
+    x = max_pool_3x3_s2_p1(x)
+    c1 = _resnext_stage(x, p, s, 1, layers[0], 1, 1, cardinality, use_se)
+    c2 = _resnext_stage(c1, p, s, 2, layers[1], 2, 1, cardinality, use_se)
+    if dilated:
+        c3 = _resnext_stage(c2, p, s, 3, layers[2], 1, 2, cardinality,
+                            use_se)
+        c4 = _resnext_stage(c3, p, s, 4, layers[3], 1, 4, cardinality,
+                            use_se)
+    else:
+        c3 = _resnext_stage(c2, p, s, 3, layers[2], 2, 1, cardinality,
+                            use_se)
+        c4 = _resnext_stage(c3, p, s, 4, layers[3], 2, 1, cardinality,
+                            use_se)
+    return c1, c3, c4

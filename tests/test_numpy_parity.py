@@ -249,3 +249,36 @@ def test_deeplab_v3plus_full_forward_matches_numpy_reference():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(aux), ref_aux,
                                rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.slow
+def test_resnext_dilated_se_matches_numpy_reference():
+    """The alternative ResNeXt backbone (SURVEY #15) against the oracle's
+    transliteration of the reference's IN-REPO source
+    (`resnext_dilated.py:60-114,196-214`): grouped bottlenecks, stage
+    dilation rules, and the SE attention path (exercised with use_se=True;
+    sigmoid gate + biased 1x1s)."""
+    from gan_segmentation_tpu.models.resnext import ResNextDilated
+
+    model = ResNextDilated(layers=(2, 2, 2, 2), cardinality=8,
+                           bottleneck_width=4, use_se=True, dilated=True)
+    x = jnp.asarray(np.random.default_rng(4).normal(
+        0, 1, (1, 64, 64, 3)), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, False))(
+        jax.random.PRNGKey(0), x)
+    variables = _randomize_variables(variables, seed=5)
+
+    c1, c3, c4 = jax.jit(lambda v, x: model.apply(v, x, False))(variables, x)
+
+    p = jax.device_get(variables["params"])
+    s = jax.device_get(variables["batch_stats"])
+    r1, r3, r4 = ref_numpy_deeplab.resnext_dilated_forward(
+        np.asarray(x, np.float32), p, s, layers=(2, 2, 2, 2),
+        cardinality=8, use_se=True)
+
+    np.testing.assert_allclose(np.asarray(c1), r1, rtol=1e-3, atol=1e-3,
+                               err_msg="c1")
+    np.testing.assert_allclose(np.asarray(c3), r3, rtol=1e-3, atol=1e-3,
+                               err_msg="c3")
+    np.testing.assert_allclose(np.asarray(c4), r4, rtol=1e-3, atol=1e-3,
+                               err_msg="c4")
