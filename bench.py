@@ -54,8 +54,11 @@ def build_fused(max_res_log2: int, dtype=jnp.bfloat16, seed: int = 0,
     convs through the flax ``quant`` collection, putting ~100% of pipeline
     conv FLOPs on the int8 path. Any other non-None value raises.
     """
+    from gan_segmentation_tpu.core.mesh import DATA_AXIS as _DATA_AXIS
+    _dp = (mesh.shape[_DATA_AXIS]
+           if mesh is not None and _DATA_AXIS in mesh.axis_names else 1)
     gcfg = GanConfig(max_res_log2=max_res_log2, dtype="bf16",
-                     fold_blur=fold_blur)
+                     fold_blur=fold_blur, quant_batch_shards=_dp)
     gen, gparams = init_generator(gcfg, seed=seed, compute_dtype=dtype)
     scfg = SolverConfig(max_res_log2=max_res_log2)
     dec = decoder_from_config(scfg, compute_dtype=dtype)
@@ -460,8 +463,14 @@ def _supervise(metric, unit, deadline, watchdog):
         inner_wd = max(int(min(remaining - _EMIT_MARGIN - 15, slice_budget)),
                        30)
         # the child gets inner_wd to finish PLUS grace to emit its own error
-        # line — but never past the supervisor's emit margin
-        kill_after = max(min(inner_wd + 60, remaining - _EMIT_MARGIN), 5)
+        # line — capped by the supervisor's emit margin, but NEVER below
+        # the child's own watchdog: when a tiny --watchdog (e.g. 50s on the
+        # CPU backend) forces inner_wd to its 30s floor, killing the child
+        # before its watchdog fires would lose its error JSON and regress
+        # the small-watchdog guarantee above; the terminal print itself
+        # needs milliseconds, so trading margin for child grace is safe
+        kill_after = max(min(inner_wd + 60, remaining - _EMIT_MARGIN),
+                         inner_wd + 5)
         argv = ([sys.executable, os.path.abspath(sys.argv[0])]
                 + _set_watchdog_arg(sys.argv[1:], inner_wd))
         env = dict(os.environ)

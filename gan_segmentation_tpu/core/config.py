@@ -36,6 +36,12 @@ class GanConfig:
     # mapping-net dense layers run with lr_mult 0.01 folded into the forward
     # weight scale (`image_generator.py:42`, `networks_stylegan.py:134-136`)
     mapping_lr_mult: float = 0.01
+    # dp extent of the batch axis the generator will run under — consumed
+    # ONLY by the int8-full form policy (ops/quant.conv2d_s8_fused sizes
+    # the per-DEVICE im2col working set); callers on a mesh rebuild the
+    # generator with this set to the mesh's data extent (bench.build_fused,
+    # FusedPipeline), mirroring the decoder path's batch_shards plumb
+    quant_batch_shards: int = 1
     # fold the post-upscale [1,2,1] blur into the fused-upscale deconv kernel
     # (ops/conv.conv_transpose2d_blur — exact rewrite incl. the border ring).
     # MEASURED NEGATIVE on this chip, default OFF: the composed k6s2 kernel

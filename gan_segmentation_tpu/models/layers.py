@@ -44,7 +44,10 @@ def _quant_conv(mdl: nn.Module, x, k_eff, b, *, stride=1, padding=0,
                 lhs_dilation=None):
     """The int8 branch shared by the wscale convs: quantize the input
     against the calibrated scale, the effective kernel at trace time, run
-    s8xs8->s32, dequantize in f32, bias, cast back."""
+    s8xs8->s32, dequantize in f32, bias, cast back. The module's
+    ``quant_batch_shards`` (the mesh's dp extent, threaded from GanConfig)
+    sizes the im2col form policy per DEVICE, matching the decoder path's
+    ``apply_s2d_int8(batch_shards=...)``."""
     from ..ops.quant import conv2d_s8_fused, quantize_weight
 
     inv = mdl.get_variable("quant", "inv_in")
@@ -52,7 +55,8 @@ def _quant_conv(mdl: nn.Module, x, k_eff, b, *, stride=1, padding=0,
     return conv2d_s8_fused(
         x, inv, wq, wscale / inv,
         None if b is None else b.astype(jnp.float32),
-        stride=stride, padding=padding, lhs_dilation=lhs_dilation)
+        stride=stride, padding=padding, lhs_dilation=lhs_dilation,
+        batch_shards=getattr(mdl, "quant_batch_shards", 1))
 
 
 class DenseW(nn.Module):
@@ -105,6 +109,8 @@ class Conv2DW(nn.Module):
     lr_mult: float = 1.0
     up2x: bool = False
     compute_dtype: jnp.dtype = jnp.float32
+    # dp extent of the batch axis, for the int8 im2col form policy only
+    quant_batch_shards: int = 1
 
     @nn.compact
     def __call__(self, x):
@@ -159,6 +165,8 @@ class Conv2DTransposeW(nn.Module):
     gain: float = float(np.sqrt(2))
     lr_mult: float = 1.0
     compute_dtype: jnp.dtype = jnp.float32
+    # dp extent of the batch axis, for the int8 im2col form policy only
+    quant_batch_shards: int = 1
     # when set, this module's output INCLUDES the reference's post-upscale
     # [1,2,1] blur (`networks_stylegan.py:56-73,200-236`) — folded into the
     # deconv kernel (exact, ops/conv.conv_transpose2d_blur) on the float

@@ -68,6 +68,7 @@ class StyleBlock(nn.Module):
                 # tree identical either way (Blur is parameterless)
                 y = Conv2DTransposeW(conv_size, use_wscale=cfg.use_wscale,
                                      compute_dtype=self.compute_dtype,
+                                     quant_batch_shards=cfg.quant_batch_shards,
                                      fold_blur=cfg.fold_blur,
                                      name="deconv_1")(y)
                 if not cfg.fold_blur:
@@ -78,6 +79,7 @@ class StyleBlock(nn.Module):
                 y = Conv2DW(conv_size, 3, use_bias=False,
                             use_wscale=cfg.use_wscale, up2x=True,
                             compute_dtype=self.compute_dtype,
+                            quant_batch_shards=cfg.quant_batch_shards,
                             name="conv_1")(y)
                 y = Blur(name="blur_1")(y)
 
@@ -88,7 +90,9 @@ class StyleBlock(nn.Module):
                   compute_dtype=self.compute_dtype, name="adain_1")(y, w1)
 
         y = Conv2DW(conv_size, 3, use_bias=False, use_wscale=cfg.use_wscale,
-                    compute_dtype=self.compute_dtype, name="conv_2")(y)
+                    compute_dtype=self.compute_dtype,
+                    quant_batch_shards=cfg.quant_batch_shards,
+                    name="conv_2")(y)
         y = AddNoise(fix_noise=cfg.fix_noise, name="noise_2")(y)
         y = Bias(name="bias_2")(y)
         y = leaky_relu(y)
@@ -143,6 +147,7 @@ class StyleGanGenerator(nn.Module):
         rgb = Conv2DW(cfg.channels, 1, padding=0, use_bias=True, gain=1.0,
                       use_wscale=cfg.use_wscale,
                       compute_dtype=self.compute_dtype,
+                      quant_batch_shards=cfg.quant_batch_shards,
                       name=f"to_rgb_{cfg.max_res_log2}")(y)
         return rgb, features
 

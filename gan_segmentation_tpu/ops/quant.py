@@ -50,25 +50,35 @@ _EPS = 1e-12
 _VALID_FORMS = ("im2col", "conv")
 
 
-def _read_once(name, default, cast):
+def _read_once(name, default, cast, valid=None):
     """Process-level config, read ONCE at import: a jitted callable traced
     with one value never re-reads the env (jit caches key on function
     identity + arg shapes, not env), so a mid-process env flip would
     silently rerun the stale program (ADVICE r4, medium). A/B two variants
     in one process by passing the explicit kwargs below (with fresh jit
     closures per variant); across processes the env works as before — and
-    that is what `bench.py --quant` measurement attempts are."""
-    v = cast(os.environ.get(name, default))
-    if name == "GAN_SEG_INT8_CONV" and v not in _VALID_FORMS:
+    that is what `bench.py --quant` measurement attempts are.
+
+    Every error is loud and NAMES the variable: ``valid`` is an optional
+    allow-list, and a ``cast`` failure (e.g. a non-numeric cap) re-raises
+    with the variable name instead of a bare ValueError."""
+    raw = os.environ.get(name, default)
+    try:
+        v = cast(raw)
+    except ValueError as e:
+        raise ValueError(f"{name}={raw!r} is not a valid "
+                         f"{cast.__name__}") from e
+    if valid is not None and v not in valid:
         # a typo must fail loudly, never silently route to the conv
         # emitter measured 21-50x slower than im2col
-        raise ValueError(f"{name} must be one of {_VALID_FORMS}, got {v!r}")
+        raise ValueError(f"{name} must be one of {valid}, got {v!r}")
     return v
 
 
 #: int8 conv formulation ("im2col" default / "conv"), frozen at import from
 #: GAN_SEG_INT8_CONV; per-call override via the ``form`` kwargs.
-INT8_FORM: str = _read_once("GAN_SEG_INT8_CONV", "im2col", str)
+INT8_FORM: str = _read_once("GAN_SEG_INT8_CONV", "im2col", str,
+                            valid=_VALID_FORMS)
 #: full-batch im2col working-set cap in MiB (chunk via lax.map above it),
 #: frozen at import from GAN_SEG_INT8_CHUNK_MB; override via ``chunk_mb``.
 INT8_CHUNK_MB: float = _read_once("GAN_SEG_INT8_CHUNK_MB", "2048", float)
@@ -249,8 +259,17 @@ def conv2d_s8_fused(x, inv_in, wq, deq, bias, *, stride=1, padding=0,
     cap = INT8_CHUNK_MB if chunk_mb is None else float(chunk_mb)
     form = _resolve_form(form)
     if form == "im2col":
+        # per-device footprint: divide by the dp extent ONLY when the
+        # batch actually divides it — core/mesh.shard_batch replicates
+        # non-dividing batches (every device then runs the FULL batch),
+        # and dividing the estimate anyway would under-size the working
+        # set by batch_shards x and re-admit the compile-OOM sites this
+        # cap exists to reroute
+        shards = max(int(batch_shards), 1)
+        if x.shape[0] % shards != 0:
+            shards = 1
         mib = _im2col_chunk_mib(x.shape, wq.shape, stride, padding,
-                                lhs_dilation) / max(int(batch_shards), 1)
+                                lhs_dilation) / shards
         if mib > cap:
             form = "conv"
     xq = quantize_act(x, inv_in)

@@ -187,6 +187,15 @@ class FusedPipeline:
         else:
             self._gen_params = image_generator.params
         gen_model = image_generator.model
+        if quant == "int8-full" and dp_shards != getattr(
+                gen_model.cfg, "quant_batch_shards", 1):
+            # thread the mesh's dp extent into the generator's int8 form
+            # policy (per-DEVICE im2col working set — same plumb the
+            # decoder path gets via apply_s2d_int8(batch_shards=...));
+            # param tree is unchanged, so the existing params still fit
+            import dataclasses
+            gen_model = gen_model.clone(cfg=dataclasses.replace(
+                gen_model.cfg, quant_batch_shards=dp_shards))
         # inference copy of the decoder in bf16: params stay f32, BN stats
         # are f32 inside flax; activations at 1024^2 halve their HBM traffic
         dec_model = (solver.model.clone(compute_dtype=inference_dtype)

@@ -335,3 +335,19 @@ def test_bench_cli_repeat_on_cpu(tmp_path):
     with open(side) as fp:
         lg = json.load(fp)[out["metric"]]
     assert lg["value"] == out["value"]
+
+
+def test_supervisor_small_watchdog_child_outlives_inner_watchdog(monkeypatch):
+    """Small-but-valid budgets (e.g. --watchdog 50 on the CPU backend) must
+    still give the child a kill window LONGER than its own inner watchdog:
+    at the 30s inner floor the old cap `remaining - margin` could clamp the
+    kill below it, SIGKILLing the child mid-measurement and losing its
+    error JSON (round-5 review). The kill may eat into the supervisor's
+    emit margin — the terminal print needs milliseconds."""
+    ok = '{"metric": "m", "value": 1.0, "unit": "u"}'
+    fake = _supervise_with(monkeypatch, [(0, ok + "\n")], budget=50)
+    assert fake.ok
+    (argv, kw), = fake.calls
+    inner_wd = int(argv[argv.index("--watchdog") + 1])
+    assert inner_wd == 30  # the floor
+    assert kw["timeout"] >= inner_wd + 5

@@ -85,7 +85,10 @@ def test_int8_form_validation():
     with pytest.raises(ValueError, match="form"):
         conv2d_s8(x, w, padding=1, form="imcol")
     with pytest.raises(ValueError, match="GAN_SEG_INT8_CONV"):
-        quant._read_once("GAN_SEG_INT8_CONV", "typo'd-default", str)
+        quant._read_once("GAN_SEG_INT8_CONV", "typo'd-default", str,
+                         valid=quant._VALID_FORMS)
+    with pytest.raises(ValueError, match="GAN_SEG_INT8_CHUNK_MB"):
+        quant._read_once("GAN_SEG_INT8_CHUNK_MB", "not-a-number", float)
     # and the env path validates the same way at import time
     import os
     env = dict(os.environ, GAN_SEG_INT8_CONV="IM2COL")  # wrong case
@@ -174,6 +177,12 @@ def test_conv2d_s8_fused_form_policy():
     # per-device estimate: 4-way sharding brings this site back under cap
     sharded = jaxpr(chunk_mb=0.004, batch_shards=4)
     assert "dot_general" in sharded and "scan" not in sharded
+    # a batch that does NOT divide the dp extent is REPLICATED by
+    # core/mesh.shard_batch (every device runs the full batch), so the
+    # policy must size the full working set — dividing anyway would
+    # re-admit the compile-OOM sites the cap reroutes (review r5)
+    nondividing = jaxpr(chunk_mb=0.004, batch_shards=3)
+    assert "conv_general_dilated" in nondividing
 
 
 def test_im2col_chunk_mib_counts_full_working_set():

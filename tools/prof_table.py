@@ -27,14 +27,14 @@ Usage:
 """
 
 import argparse
-import glob
 import re
 import sys
-from os.path import dirname, isdir, join
+from os.path import dirname
 
 sys.path.insert(0, dirname(__file__))
 
-from xplane import load_xspace_planes, plane_op_times  # noqa: E402
+from xplane import (load_xspace_planes, plane_op_times,
+                    resolve_trace_path)  # noqa: E402
 
 _DTYPE_BYTES = {
     "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2, "f16": 2,
@@ -174,12 +174,7 @@ def main():
                     help="emit a markdown table (for BASELINE.md)")
     args = ap.parse_args()
 
-    path = args.trace
-    if isdir(path):
-        cands = sorted(glob.glob(join(path, "**", "*.xplane.pb"),
-                                 recursive=True))
-        assert cands, f"no *.xplane.pb under {path}"
-        path = cands[-1]
+    path = resolve_trace_path(args.trace)
     hlo_text = open(args.hlo).read()
     defs = parse_defs(hlo_text)
     bodies = fused_bodies(hlo_text)

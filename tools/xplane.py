@@ -121,6 +121,20 @@ def plane_op_times(plane_buf, line_name=None):
     return name, {k: tuple(v) for k, v in agg.items()}
 
 
+def resolve_trace_path(path):
+    """A trace dir (as written by ``jax.profiler.trace``) resolves to its
+    newest ``*.xplane.pb``; a file path passes through."""
+    import glob
+    from os.path import isdir, join
+
+    if isdir(path):
+        cands = sorted(glob.glob(join(path, "**", "*.xplane.pb"),
+                                 recursive=True))
+        assert cands, f"no *.xplane.pb under {path}"
+        return cands[-1]
+    return path
+
+
 def load_xspace_planes(path):
     buf = open(path, "rb").read()
     return [val for fnum, _, val in fields(buf) if fnum == 1]
@@ -128,35 +142,40 @@ def load_xspace_planes(path):
 
 def main():
     import argparse
-    import glob
-    from os.path import isdir, join
 
     ap = argparse.ArgumentParser()
     ap.add_argument("path")
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--plane", default="TPU")
+    ap.add_argument("--line", default="XLA Ops",
+                    help="exact line name to aggregate (per-op self-times; "
+                         "'XLA Modules' encloses these and 'Async XLA Ops' "
+                         "overlaps them, so summing all lines double "
+                         "counts). Pass '' to sum every line; planes "
+                         "without the named line fall back to all lines")
     args = ap.parse_args()
 
-    path = args.path
-    if isdir(path):
-        cands = sorted(glob.glob(join(path, "**", "*.xplane.pb"),
-                                 recursive=True))
-        assert cands, f"no *.xplane.pb under {path}"
-        path = cands[-1]
+    path = resolve_trace_path(args.path)
     print(f"# {path}")
 
+    line = args.line or None
     best = None
     for plane_buf in load_xspace_planes(path):
-        name, ops = plane_op_times(plane_buf)
+        name, ops = plane_op_times(plane_buf, line_name=line)
+        label = line
+        if line is not None and not ops:  # plane without that line
+            name, ops = plane_op_times(plane_buf)
+            label = None
         total = sum(t for t, _ in ops.values())
         if args.plane.lower() in name.lower() and total:
-            best = (name, ops, total)
+            best = (name, label, ops, total)
             break
-        if total and (best is None or total > best[2]):
-            best = (name, ops, total)
+        if total and (best is None or total > best[3]):
+            best = (name, label, ops, total)
     assert best, "no events found"
-    name, ops, total = best
-    print(f"# plane: {name}   total {total / 1e9:.3f} ms")
+    name, label, ops, total = best
+    print(f"# plane: {name}   line: {label or '<all>'}   "
+          f"total {total / 1e9:.3f} ms")
     rows = sorted(ops.items(), key=lambda kv: -kv[1][0])[:args.top]
     for op, (ps, cnt) in rows:
         print(f"{ps / 1e9:9.3f} ms  x{cnt:<5d} {100 * ps / total:5.1f}%  {op}")
