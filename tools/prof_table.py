@@ -13,11 +13,14 @@ wire-format decoder) against the program's optimized HLO text
   - achieved GB/s and TFLOP/s, and the fraction of the measured chip
     envelope they reach.
 
-The envelope is BASELINE.md's measured one for this virtualized v5e
-(~157 GB/s elementwise stream, ~39.6 TFLOP/s bf16 dense-matmul probe;
-XLA's conv emitters have measured up to ~86 TFLOP/s-equivalent here, so
-conv ops are judged against the probe as a LOWER bound: >=100% of probe
-means "at or beyond the measured compute envelope").
+The default envelope is BASELINE.md's round-1 measured one (~157 GB/s
+stream, ~39.6 TFLOP/s bf16 matmul probe) — but the round-5 profile
+showed real fused kernels sustaining 535-685 GB/s and up to ~190 TF/s,
+i.e. those micro-probes were dispatch-bound and UNDERSTATE the chip.
+For per-op roofline judgments pass the nominal v5e envelope instead:
+``--bw-gbs 819 --tf-probe 197`` (the flags BASELINE.md's published
+table used). TF is naive dense-MAC arithmetic over time; >100% means
+the emitter algebraically beats dense MACs (e.g. subpixel deconv).
 
 Usage:
   B=128 S2D=1 NBLK=3 python tools/prof_fused.py          # writes trace
