@@ -282,3 +282,31 @@ def test_resnext_dilated_se_matches_numpy_reference():
                                err_msg="c3")
     np.testing.assert_allclose(np.asarray(c4), r4, rtol=1e-3, atol=1e-3,
                                err_msg="c4")
+
+
+@pytest.mark.parametrize("depth_activation,dilation",
+                         [(False, 1), (True, 2), (False, 3)])
+def test_separable_conv_variants_match_numpy_reference(depth_activation,
+                                                       dilation):
+    """The SeparableConv configurations the heads DON'T use — the
+    pre-relu placement (depth_activation=False) and dilated depthwise
+    with asymmetric same-padding (`deeplabv3plus.py:338-378`) — against
+    the oracle, so the whole reference surface of the module is pinned,
+    not just the head's (True, 1) corner."""
+    from gan_segmentation_tpu.models.deeplab import SeparableConv
+
+    mod = SeparableConv(10, dilation=dilation,
+                        depth_activation=depth_activation)
+    x = jnp.asarray(np.random.default_rng(6).normal(
+        0, 1, (2, 9, 9, 6)), jnp.float32)
+    variables = jax.jit(lambda k, x: mod.init(k, x, False))(
+        jax.random.PRNGKey(0), x)
+    variables = _randomize_variables(variables, seed=7)
+    got = jax.jit(lambda v, x: mod.apply(v, x, False))(variables, x)
+
+    ref = ref_numpy_deeplab.separable_conv(
+        np.asarray(x, np.float32),
+        jax.device_get(variables["params"]),
+        jax.device_get(variables["batch_stats"]),
+        dilation=dilation, depth_activation=depth_activation)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-4, atol=1e-4)
